@@ -1,0 +1,194 @@
+"""Configuration dataclasses (replaces the reference's ~30 ROS parameters).
+
+Parity: parameter names/defaults follow the reference benchmark launch file
+(`/root/reference/launch/supersurfel_fusion_rgbd_benchmark.launch:7-53`) and
+`node/supersurfel_fusion_node.cpp:224-252`, re-expressed as frozen dataclasses
+so they are hashable static arguments to jitted functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CameraIntrinsics:
+    """Pinhole camera model (reference: `CamParam`, cam_param.hpp)."""
+
+    fx: float = 525.0
+    fy: float = 525.0
+    cx: float = 319.5
+    cy: float = 239.5
+    width: int = 640
+    height: int = 480
+
+    @staticmethod
+    def tum_fr1() -> "CameraIntrinsics":
+        # /root/reference/rgbd_benchmark/fr1_cam.yaml
+        return CameraIntrinsics(525.0, 525.0, 319.5, 239.5, 640, 480)
+
+    @staticmethod
+    def tum_fr2() -> "CameraIntrinsics":
+        # /root/reference/rgbd_benchmark/fr2_cam.yaml
+        return CameraIntrinsics(520.9, 521.0, 325.1, 249.7, 640, 480)
+
+    @staticmethod
+    def tum_fr3() -> "CameraIntrinsics":
+        # /root/reference/rgbd_benchmark/fr3_cam.yaml
+        return CameraIntrinsics(535.4, 539.2, 320.1, 247.6, 640, 480)
+
+
+@dataclass(frozen=True)
+class TPSConfig:
+    """Texture-, plane- and size-aware superpixel segmentation parameters.
+
+    Reference: `TPS_RGBD` ctor args (`core/src/TPS_RGBD.cu:35-80`) with the
+    benchmark launch values. `min_size` is derived as cell_size^2/4 at the
+    call site (`TPS_RGBD.cu:198`).
+    """
+
+    cell_size: int = 16
+    lambda_pos: float = 10.0
+    lambda_bound: float = 1000.0
+    lambda_size: float = 1000.0
+    lambda_disp: float = 1.0e8
+    thresh_disp: float = 1.0e-4
+    nb_iters: int = 10           # total; first half RGB-only, second half RGBD
+    use_ransac: bool = True
+    nb_samples: int = 16         # RANSAC plane hypotheses per superpixel
+    filter_iter: int = 3
+    filter_alpha: float = 0.1
+    filter_beta: float = 1.0
+    filter_thresh: float = 0.05
+    # TPU-native addition: labels are constrained to a 3x3 cell neighbourhood
+    # around each pixel's grid cell (gSLICr-style), which turns every
+    # gather/scatter of the reference into static shifts + one einsum.
+    cell_reach: int = 1
+
+
+@dataclass(frozen=True)
+class ICPConfig:
+    """Dense symmetric point-to-plane ICP (reference: `DenseRegistration`,
+    `core/src/dense_registration.cu:245-424`)."""
+
+    nb_iters: int = 10
+    cov_thresh: float = 0.05
+    # correspondence gates (dense_registration_kernels.cuh:232-234)
+    max_color_dist: float = 20.0
+    max_dist: float = 0.1
+    min_normal_dot: float = 0.8
+    min_inliers: float = 100.0
+    max_translation: float = 0.2
+    # early-exit when error stops improving (dense_registration.cu:388)
+    rel_error_break: float = 0.9995
+
+
+@dataclass(frozen=True)
+class FusionConfig:
+    """Model fusion/maintenance (reference: `supersurfel_fusion.cu:350-483`
+    and `supersurfel_fusion_kernels.cu:522-682, 397-467`)."""
+
+    nb_supersurfels_max: int = 1 << 17   # 131072 >= reference cap of 100k
+    delta_t: int = 20
+    conf_thresh_scale: float = 10.0
+    range_min: float = 0.2
+    range_max: float = 5.0
+    # match gates (findBestMatches, supersurfel_fusion_kernels.cu:586)
+    match_max_color_dist: float = 15.0
+    match_min_normal_dot: float = 0.8
+    match_max_dist: float = 0.05
+    # free-space violation: remove model surfel if p.z < 0.8 * observed depth
+    # (filterModel, supersurfel_fusion_kernels.cu:449)
+    free_space_ratio: float = 0.8
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    """Supersurfel generation gates (computeSupersurfels,
+    `supersurfel_fusion_kernels.cu:169-224`)."""
+
+    min_pixels: float = 100.0
+    max_elongation: float = 50.0
+
+
+@dataclass(frozen=True)
+class VOConfig:
+    """Sparse visual odometry front-end (reference: `SparseVO`,
+    `core/src/sparse_vo.cpp`, `pnp_solver.cpp:37-38`, `local_map.cpp`)."""
+
+    nb_features: int = 500
+    scale_factor: float = 1.2
+    nb_levels: int = 8
+    ini_th_fast: int = 15
+    min_th_fast: int = 5
+    untracked_threshold: int = 10
+    nb_passes: int = 2
+    nb_gn_iters: int = 5
+    chi2_threshold: float = 5.991
+    min_matches: int = 20
+    min_inlier_ratio: float = 0.2
+    max_translation_jump: float = 0.5
+    match_max_px_dist: float = 100.0
+    local_map_capacity: int = 2048
+
+
+@dataclass(frozen=True)
+class MODConfig:
+    """Moving object detection (reference: `MotionDetection`,
+    `core/src/motion_detection.cu`)."""
+
+    enabled: bool = False
+    use_yolo: bool = False
+    convexity_thresh: float = 0.2     # motion_detection.cu:219-226
+    cc_iters: int = 64                # label-propagation iterations
+
+
+@dataclass(frozen=True)
+class FernsConfig:
+    """Randomized ferns loop-closure detector (reference: `Ferns`,
+    `core/src/ferns.cu:45-195`)."""
+
+    enabled: bool = False
+    nb_ferns: int = 500
+    pyramid_level: int = 4            # 640x480 -> 40x30
+    new_frame_thresh: float = 0.3095
+    max_keyframes: int = 512
+    min_frame_gap: int = 100
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    cam: CameraIntrinsics = dataclasses.field(default_factory=CameraIntrinsics.tum_fr1)
+    tps: TPSConfig = dataclasses.field(default_factory=TPSConfig)
+    icp: ICPConfig = dataclasses.field(default_factory=ICPConfig)
+    fusion: FusionConfig = dataclasses.field(default_factory=FusionConfig)
+    generation: GenerationConfig = dataclasses.field(default_factory=GenerationConfig)
+    vo: VOConfig = dataclasses.field(default_factory=VOConfig)
+    mod: MODConfig = dataclasses.field(default_factory=MODConfig)
+    ferns: FernsConfig = dataclasses.field(default_factory=FernsConfig)
+    enable_loop_closure: bool = False
+    enable_sparse_vo: bool = True
+    depth_scale: float = 1.0 / 5000.0  # TUM 16-bit PNG -> metres
+    # bilateral depth prefilter (reference uses sigma_value=0.03,
+    # sigma_space=4.5, supersurfel_fusion.cu:180)
+    bilateral_sigma_value: float = 0.03
+    bilateral_sigma_space: float = 4.5
+    bilateral_radius: int = 6
+
+    @property
+    def grid_w(self) -> int:
+        return (self.cam.width + self.tps.cell_size - 1) // self.tps.cell_size
+
+    @property
+    def grid_h(self) -> int:
+        return (self.cam.height + self.tps.cell_size - 1) // self.tps.cell_size
+
+    @property
+    def nb_superpixels(self) -> int:
+        return self.grid_w * self.grid_h
+
+    @property
+    def conf_thresh(self) -> float:
+        # supersurfel_fusion_node.cpp:254
+        return self.tps.cell_size**2 * self.fusion.conf_thresh_scale

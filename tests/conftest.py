@@ -1,0 +1,46 @@
+"""Test configuration: force the JAX CPU backend with 8 virtual devices so
+sharding/collective tests run anywhere (mirrors the driver's multichip dry-run
+environment)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# jax may already have been imported by the environment's sitecustomize with a
+# TPU backend registered; force the CPU backend for hermetic, parallel tests.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+FR1_XYZ = os.path.join(REFERENCE_ROOT, "rgbd_benchmark", "rgbd_dataset_freiburg1_xyz")
+FR3_WALK = os.path.join(
+    REFERENCE_ROOT, "rgbd_benchmark", "rgbd_dataset_freiburg3_walking_halfsphere"
+)
+
+
+@pytest.fixture(scope="session")
+def fr1_xyz_path():
+    if not os.path.isdir(FR1_XYZ):
+        pytest.skip("fr1/xyz dataset not available")
+    return FR1_XYZ
+
+
+@pytest.fixture(scope="session")
+def fr3_walking_path():
+    if not os.path.isdir(FR3_WALK):
+        pytest.skip("fr3/walking_halfsphere dataset not available")
+    return FR3_WALK
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
