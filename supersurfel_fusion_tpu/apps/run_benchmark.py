@@ -1,0 +1,113 @@
+"""TUM RGB-D benchmark runner (CLI).
+
+Replaces the reference's `supersurfel_fusion_rgbd_benchmark_node`
+(`node/supersurfel_fusion_rgbd_benchmark_node.cpp:573-744`): replays a TUM
+sequence synchronously through the SLAM pipeline, writes a TUM-format
+trajectory, and reports ATE/RPE against ground truth plus runtime stats.
+
+Usage:
+  python -m supersurfel_fusion_tpu.apps.run_benchmark \
+      --dataset /path/to/rgbd_dataset_freiburg1_xyz \
+      [--max-frames N] [--out estimated.txt] [--cam fr1|fr2|fr3] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset", required=True, help="TUM sequence directory")
+    ap.add_argument("--out", default=None, help="trajectory output path")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--cam", default="auto", choices=["auto", "fr1", "fr2", "fr3"])
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--depth-scale", type=float, default=1.0 / 5000.0)
+    ap.add_argument("--mod", action="store_true", help="enable moving-object detection")
+    ap.add_argument("--no-vo", action="store_true", help="disable sparse VO (ICP only)")
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from supersurfel_fusion_tpu.config import (
+        CameraIntrinsics,
+        MODConfig,
+        PipelineConfig,
+    )
+    from supersurfel_fusion_tpu.eval.trajectory import ate, rpe
+    from supersurfel_fusion_tpu.io.tum import TUMDataset, write_trajectory
+    from supersurfel_fusion_tpu.pipeline import SupersurfelFusionTPU
+
+    name = os.path.basename(os.path.normpath(args.dataset))
+    cam_key = args.cam
+    if cam_key == "auto":
+        cam_key = "fr1"
+        for k in ("freiburg1", "freiburg2", "freiburg3"):
+            if k in name:
+                cam_key = "fr" + k[-1]
+    cam = {
+        "fr1": CameraIntrinsics.tum_fr1,
+        "fr2": CameraIntrinsics.tum_fr2,
+        "fr3": CameraIntrinsics.tum_fr3,
+    }[cam_key]()
+
+    cfg = PipelineConfig(
+        cam=cam,
+        depth_scale=args.depth_scale,
+        mod=MODConfig(enabled=args.mod),
+        enable_sparse_vo=not args.no_vo,
+    )
+    ds = TUMDataset(args.dataset, depth_scale=args.depth_scale)
+    n = len(ds) if args.max_frames is None else min(args.max_frames, len(ds))
+
+    slam = SupersurfelFusionTPU(cfg)
+    t_start = time.time()
+    t_first = None
+    for i in range(n):
+        f = ds.load_frame(i)
+        out = slam.process(f.rgb, f.depth, f.timestamp)
+        if i == 0:
+            out.pose.t.block_until_ready()
+            t_first = time.time()
+        if not args.quiet and i % 50 == 0:
+            print(
+                f"frame {i}/{n} icp_valid={bool(out.icp_valid)} "
+                f"nb={int(out.nb_supersurfels)} vis={int(out.nb_visible)}",
+                flush=True,
+            )
+    out.pose.t.block_until_ready()
+    t_end = time.time()
+    steady = n - 1 if n > 1 else 1
+    fps = steady / max(t_end - t_first, 1e-9) if t_first else 0.0
+
+    traj_path = args.out or os.path.join("/tmp", f"estimated_{name}.txt")
+    write_trajectory(traj_path, slam.stamps, slam.trajectory)
+
+    est = {t: p for t, p in zip(slam.stamps, slam.trajectory)}
+    gt = {
+        a.rgb_ts: a.gt for a in ds.associations[:n] if a.gt is not None
+    }
+    result = {"frames": n, "fps": round(fps, 2), "trajectory": traj_path}
+    if len(gt) > 2:
+        r = ate(est, gt)
+        result.update(
+            ate_rmse=round(r.rmse, 4), ate_mean=round(r.mean, 4),
+            ate_max=round(r.max, 4),
+        )
+        rp = rpe(est, gt)
+        result.update(rpe_trans=round(rp.trans_rmse, 4))
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
