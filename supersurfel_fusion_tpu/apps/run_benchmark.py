@@ -30,6 +30,7 @@ def main(argv=None) -> int:
     ap.add_argument("--depth-scale", type=float, default=1.0 / 5000.0)
     ap.add_argument("--mod", action="store_true", help="enable moving-object detection")
     ap.add_argument("--no-vo", action="store_true", help="disable sparse VO (ICP only)")
+    ap.add_argument("--no-icp", action="store_true", help="disable dense ICP (VO only)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -65,6 +66,7 @@ def main(argv=None) -> int:
         depth_scale=args.depth_scale,
         mod=MODConfig(enabled=args.mod),
         enable_sparse_vo=not args.no_vo,
+        enable_icp=not args.no_icp,
     )
     ds = TUMDataset(args.dataset, depth_scale=args.depth_scale)
     n = len(ds) if args.max_frames is None else min(args.max_frames, len(ds))

@@ -169,6 +169,7 @@ class PipelineConfig:
     ferns: FernsConfig = dataclasses.field(default_factory=FernsConfig)
     enable_loop_closure: bool = False
     enable_sparse_vo: bool = True
+    enable_icp: bool = True
     depth_scale: float = 1.0 / 5000.0  # TUM 16-bit PNG -> metres
     # bilateral depth prefilter (reference uses sigma_value=0.03,
     # sigma_space=4.5, supersurfel_fusion.cu:180)

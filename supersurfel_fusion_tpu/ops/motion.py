@@ -1,0 +1,284 @@
+"""Moving-object detection (MOD): geometric clustering + residual-flow gating.
+
+TPU-native rewrite of `MotionDetection::detectMotionSimple` and
+`computeGeometricClusters` (`core/src/motion_detection.cu:180-678`,
+`motion_detection_kernels.cu:27-233`):
+
+* The O(N^2) superpixel adjacency matrix (downloaded to host every frame in
+  the reference) becomes a (GH, GW, 25) stencil: thanks to the 3x3 label
+  locality, adjacent superpixels always live within a 5x5 cell window, so
+  adjacency is 25 static shifts — no matrix, no download.
+* The host DFS connected components become iterative min-label propagation
+  over the gated adjacency (deterministic, fixed iteration count covering the
+  grid diameter).
+* The camera-motion compensation chain (GMS matches -> similarity RANSAC ->
+  warp -> dense flow) is ops/flow.py; per-superpixel mean flow is the same
+  cell-blocked reduction as TPS.
+* Cluster statistics / thresholds / label fill-in follow the reference's
+  logic, including its quirks (flow normalized by full superpixel size, the
+  adaptive flow threshold 2.5 + 0.5 * |H translation|).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from supersurfel_fusion_tpu.config import CameraIntrinsics, MODConfig, TPSConfig
+from supersurfel_fusion_tpu.ops.depth import shift2d
+from supersurfel_fusion_tpu.ops.features import Keypoints
+from supersurfel_fusion_tpu.ops.flow import (
+    dense_flow,
+    estimate_similarity_ransac,
+    warp_similarity,
+)
+from supersurfel_fusion_tpu.ops.matching import gms_filter, match_bruteforce
+from supersurfel_fusion_tpu.ops.tps import TPSResult, cell_reduce, _rel_code
+from supersurfel_fusion_tpu.types import Supersurfels
+from supersurfel_fusion_tpu.utils.color import rgb_to_lab
+
+Array = jax.Array
+
+# 5x5 cell-offset table for superpixel adjacency
+_OFFS25 = [(dy, dx) for dy in range(-2, 3) for dx in range(-2, 3)]
+
+
+class MODPrev(NamedTuple):
+    """Previous-frame context carried in the SLAM state."""
+
+    gray: Array        # (H, W)
+    depth: Array       # (H, W) filtered depth
+    kp_xy: Array       # (K, 2)
+    kp_desc: Array     # (K, 8) uint32
+    kp_valid: Array    # (K,)
+    initialized: Array  # () bool
+
+
+def superpixel_adjacency(labels: Array, gh: int, gw: int, cs: int) -> Array:
+    """(GH, GW, 25) boolean: superpixel (y, x) adjacent to (y+dy, x+dx).
+
+    Two superpixels are adjacent when some pixel has a 4-neighbour with the
+    other label (computeSuperpixelsAdjacency, motion_detection_kernels.cu:
+    135-203)."""
+    H, W = labels.shape
+    py = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) // cs
+    px = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1) // cs
+    gy, gx = labels // gw, labels % gw
+
+    acc = jnp.zeros((gh, gw, 25), jnp.float32)
+    for dy, dx in ((0, 1), (1, 0)):
+        nb = shift2d(labels, dy, dx, fill=-1)
+        ngy, ngx = nb // gw, nb % gw
+        pair_ok = (nb >= 0) & (nb != labels)
+        # offset of neighbour's label cell relative to own label cell
+        ddy = ngy - gy + 2
+        ddx = ngx - gx + 2
+        in_win = (ddy >= 0) & (ddy < 5) & (ddx >= 0) & (ddx < 5)
+        code25 = jnp.clip(ddy, 0, 4) * 5 + jnp.clip(ddx, 0, 4)
+        onehot = jax.nn.one_hot(
+            jnp.where(pair_ok & in_win, code25, 25), 25, dtype=jnp.float32
+        )
+        acc = acc + cell_reduce(onehot, labels, gh, gw, cs)
+        # ... and the symmetric direction, keyed by the neighbour's label
+        code25_sym = jnp.clip(4 - ddy, 0, 4) * 5 + jnp.clip(4 - ddx, 0, 4)
+        onehot_sym = jax.nn.one_hot(
+            jnp.where(pair_ok & in_win, code25_sym, 25), 25, dtype=jnp.float32
+        )
+        acc = acc + cell_reduce(
+            onehot_sym, jnp.where(pair_ok, nb, labels), gh, gw, cs
+        )
+    return acc > 0.0
+
+
+def _shift_table(t: Array, dy: int, dx: int, fill=0.0) -> Array:
+    """t[(y+dy, x+dx)] with fill outside — same semantics as shift2d."""
+    return shift2d(t, dy, dx, fill=fill)
+
+
+def geometric_clusters(adj: Array, positions: Array, normals: Array,
+                       conf: Array, gh: int, gw: int, cfg: MODConfig):
+    """Connected components over convexity-gated adjacency.
+
+    positions/normals/conf: (GH, GW, ...) per-superpixel tables (camera frame).
+    Returns (root (GH,GW) int32 cluster id = min member index, gated_adj
+    (GH,GW,25) bool)."""
+    eps = 1e-9
+
+    def edge_ok(dy, dx, k):
+        pj = _shift_table(positions, dy, dx, fill=jnp.nan)
+        nj = _shift_table(normals, dy, dx, fill=0.0)
+        cj = _shift_table(conf, dy, dx, fill=-1.0)
+        d = positions - pj
+        dn = jnp.linalg.norm(d, axis=-1)
+        c_ij = d / jnp.maximum(dn, eps)[..., None]
+        ni = normals
+        cross = jnp.linalg.norm(jnp.cross(ni, nj), axis=-1)
+        dist = (
+            cross
+            + jnp.abs(jnp.sum(ni * c_ij, axis=-1))
+            + jnp.abs(jnp.sum(nj * c_ij, axis=-1))
+        ) / 3.0
+        ok = (
+            adj[..., k]
+            & (conf > 0.0) & (cj > 0.0)
+            & jnp.isfinite(dist) & (dist < cfg.convexity_thresh)
+        )
+        return ok
+
+    gated = jnp.stack(
+        [edge_ok(dy, dx, k) for k, (dy, dx) in enumerate(_OFFS25)], axis=-1
+    )
+
+    ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0) * gw
+        + jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1)
+    )
+
+    def prop(_, root):
+        new = root
+        for k, (dy, dx) in enumerate(_OFFS25):
+            if dy == 0 and dx == 0:
+                continue
+            rj = _shift_table(root, dy, dx, fill=jnp.int32(1 << 29))
+            new = jnp.where(gated[..., k], jnp.minimum(new, rj), new)
+        return new
+
+    root = jax.lax.fori_loop(0, cfg.cc_iters, prop, ids)
+    return root, gated
+
+
+def detect_motion(
+    rgb_gray: Array,
+    depth: Array,
+    prev: MODPrev,
+    kp: Keypoints,
+    frame: Supersurfels,
+    tps: TPSResult,
+    cam: CameraIntrinsics,
+    tps_cfg: TPSConfig,
+    cfg: MODConfig,
+):
+    """Full simple-MOD pass.
+
+    Returns (is_static_sp (N,) bool, static_kp (K,) bool, new_prev).
+    On the first frame (prev.initialized false) everything is static."""
+    H, W = rgb_gray.shape
+    cs = tps_cfg.cell_size
+    gh, gw = H // cs, W // cs
+    n_sp = gh * gw
+
+    # ---- geometric clustering (thread t in the reference)
+    adj = superpixel_adjacency(tps.labels, gh, gw, cs)
+    pos_t = frame.positions.reshape(gh, gw, 3)
+    nrm_t = frame.orientations[:, 2, :].reshape(gh, gw, 3)
+    conf_t = frame.confidences.reshape(gh, gw)
+    root, gated = geometric_clusters(adj, pos_t, nrm_t, conf_t, gh, gw, cfg)
+
+    # ---- camera-motion-compensated residual flow
+    midx, dist, mok = match_bruteforce(prev.kp_desc, prev.kp_valid,
+                                       kp.desc, kp.valid)
+    mxy = kp.xy[midx]
+    inl = gms_filter(prev.kp_xy, mxy, mok, float(W), float(H))
+    a, b, tx, ty, H_ok = estimate_similarity_ransac(prev.kp_xy, mxy, inl)
+
+    gray_est = warp_similarity(prev.gray, a, b, tx, ty, 0.0)
+    depth_est = warp_similarity(prev.depth, a, b, tx, ty, 0.0)
+    flow = dense_flow(rgb_gray, gray_est)   # current -> warped prev (DIS order)
+
+    # ---- per-superpixel mean residual flow (borders + magnitude gates as in
+    # initSuperpixelsUVFlow: border 40, 2 < |uv| <= 50; normalized by the full
+    # superpixel pixel count, reference quirk included)
+    y = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    mag = jnp.linalg.norm(flow, axis=-1)
+    take = (
+        (x >= 40) & (x < W - 40) & (y >= 40) & (y < H - 40)
+        & jnp.isfinite(mag) & (mag > 2.0) & (mag <= 50.0)
+    )
+    fl = jnp.where(take[..., None], flow, 0.0)
+    sums = cell_reduce(fl, tps.labels, gh, gw, cs)            # (GH, GW, 2)
+    sp_size = jnp.maximum(tps.stats.size, 1.0)
+    uv_sp = sums / sp_size[..., None]
+    uv_mag = jnp.linalg.norm(uv_sp, axis=-1).reshape(-1)      # (N,)
+
+    # ---- cluster membership + singleton fill-in
+    root_f = root.reshape(-1)
+    csize = jnp.zeros((n_sp,), jnp.int32).at[root_f].add(1)
+    in_cluster = csize[root_f] > 1
+    label = jnp.where(in_cluster, root_f, -1)
+
+    # fill-in 1: adopt the unanimous neighbour label
+    label_t = label.reshape(gh, gw)
+    any_n = jnp.zeros((gh, gw), bool)
+    agree = jnp.ones((gh, gw), bool)
+    ref_lab = jnp.full((gh, gw), -1, jnp.int32)
+    for k, (dy, dx) in enumerate(_OFFS25):
+        if dy == 0 and dx == 0:
+            continue
+        lj = _shift_table(label_t, dy, dx, fill=jnp.int32(-2))
+        is_n = adj[..., k]
+        first = is_n & ~any_n
+        ref_lab = jnp.where(first, lj, ref_lab)
+        agree = agree & (~is_n | (lj == ref_lab) | first)
+        any_n = any_n | is_n
+    fill1 = (label_t < 0) & any_n & agree & (ref_lab >= 0)
+    label_t = jnp.where(fill1, ref_lab, label_t)
+
+    # fill-in 2: closest neighbour in Lab colour (dist < 20)
+    lab_col = rgb_to_lab(tps.stats.color)                     # (GH, GW, 3)
+    best_d = jnp.full((gh, gw), 20.0)
+    best_l = jnp.full((gh, gw), -1, jnp.int32)
+    for k, (dy, dx) in enumerate(_OFFS25):
+        if dy == 0 and dx == 0:
+            continue
+        lj = _shift_table(label_t, dy, dx, fill=jnp.int32(-1))
+        cj = _shift_table(lab_col, dy, dx, fill=jnp.nan)
+        d = jnp.linalg.norm(lab_col - cj, axis=-1)
+        cand = adj[..., k] & (lj >= 0) & jnp.isfinite(d) & (d < best_d)
+        best_d = jnp.where(cand, d, best_d)
+        best_l = jnp.where(cand, lj, best_l)
+    fill2 = (label_t < 0) & (best_l >= 0)
+    label_t = jnp.where(fill2, best_l, label_t)
+    label = label_t.reshape(-1)
+
+    # ---- cluster mean flow + threshold
+    lab_c = jnp.where(label >= 0, label, n_sp)
+    cl_flow = jnp.zeros((n_sp + 1,), jnp.float32).at[lab_c].add(uv_mag)
+    cl_cnt = jnp.zeros((n_sp + 1,), jnp.float32).at[lab_c].add(1.0)
+    cl_mean = cl_flow / jnp.maximum(cl_cnt, 1.0)
+
+    flow_thresh = 2.5 + 0.5 * jnp.sqrt(tx * tx + ty * ty)
+    dyn_cluster = cl_mean > flow_thresh                        # (N+1,)
+    dynamic = (label >= 0) & dyn_cluster[lab_c]
+
+    first_frame = ~prev.initialized | ~H_ok
+    is_static_sp = jnp.where(first_frame, True, ~dynamic)
+
+    # ---- static keypoints (dynamic ones dropped from VO + prev context)
+    ui = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0, H - 1)
+    kp_sp = tps.labels[vi, ui]
+    static_kp = kp.valid & is_static_sp[kp_sp]
+
+    new_prev = MODPrev(
+        gray=rgb_gray,
+        depth=depth,
+        kp_xy=kp.xy,
+        kp_desc=kp.desc,
+        kp_valid=static_kp,
+        initialized=jnp.bool_(True),
+    )
+    return is_static_sp, static_kp, new_prev
+
+
+def init_prev(h: int, w: int, k: int) -> MODPrev:
+    return MODPrev(
+        gray=jnp.zeros((h, w), jnp.float32),
+        depth=jnp.zeros((h, w), jnp.float32),
+        kp_xy=jnp.zeros((k, 2), jnp.float32),
+        kp_desc=jnp.zeros((k, 8), jnp.uint32),
+        kp_valid=jnp.zeros((k,), bool),
+        initialized=jnp.bool_(False),
+    )

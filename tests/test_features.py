@@ -1,0 +1,110 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from supersurfel_fusion_tpu.config import VOConfig
+from supersurfel_fusion_tpu.ops.features import (
+    detect_and_describe,
+    fast_scores,
+    gaussian_blur,
+)
+from supersurfel_fusion_tpu.ops.matching import (
+    gms_filter,
+    hamming_distance_matrix,
+    match_bruteforce,
+)
+
+
+def squares_image(h=120, w=160):
+    """Isolated bright squares on dark ground: strong FAST-9 L-corners."""
+    img = np.full((h, w), 30.0, np.float32)
+    for y0 in range(12, h - 24, 28):
+        for x0 in range(12, w - 24, 28):
+            img[y0:y0 + 14, x0:x0 + 14] = 220.0
+    return img
+
+
+def test_fast_detects_corners():
+    img = squares_image()
+    hi, lo, score = fast_scores(jnp.asarray(img), 15.0, 5.0)
+    hi = np.asarray(hi)
+    assert hi.sum() > 10          # square corners fire
+    assert not hi[6, 6]           # flat region
+    assert not hi[19, 40]         # straight edge is not a corner
+
+
+def test_fast_rejects_flat(rng):
+    img = jnp.asarray(
+        100.0 + rng.normal(0, 1.0, (64, 64)).astype(np.float32)
+    )
+    hi, lo, _ = fast_scores(img, 15.0, 5.0)
+    assert int(hi.sum()) == 0
+
+
+def test_gaussian_blur_preserves_mean(rng):
+    img = jnp.asarray(rng.uniform(0, 255, (64, 64)).astype(np.float32))
+    out = gaussian_blur(img)
+    assert abs(float(img[10:-10, 10:-10].mean())
+               - float(out[10:-10, 10:-10].mean())) < 2.0
+
+
+def test_hamming():
+    a = jnp.asarray([[0, 0, 0, 0, 0, 0, 0, 0]], jnp.uint32)
+    b = jnp.asarray(
+        [[0, 0, 0, 0, 0, 0, 0, 0], [0xFFFFFFFF] * 8, [1, 0, 0, 0, 0, 0, 0, 0]],
+        jnp.uint32,
+    )
+    d = np.asarray(hamming_distance_matrix(a, b))
+    np.testing.assert_array_equal(d[0], [0, 256, 1])
+
+
+def test_detect_and_describe_rotation_invariance(rng):
+    """Descriptors should match between an image and its 90-deg rotation."""
+    cfg = VOConfig(nb_features=200, nb_levels=3)
+    img = rng.uniform(0, 255, (160, 160)).astype(np.float32)
+    img = np.asarray(gaussian_blur(jnp.asarray(img))) * 2  # smooth texture
+    kp0 = detect_and_describe(jnp.asarray(img), cfg)
+    kp90 = detect_and_describe(jnp.asarray(np.rot90(img).copy()), cfg)
+    idx, dist, ok = match_bruteforce(kp0.desc, kp0.valid, kp90.desc, kp90.valid)
+    d = np.asarray(dist)[np.asarray(ok)]
+    # matched distances should be far below random (128); rotation-aware
+    # descriptors keep a solid fraction of good matches
+    assert np.median(d) < 80, np.median(d)
+
+    # verify geometric consistency of the best matches: (x,y)->(y, W-1-x)
+    kxy0 = np.asarray(kp0.xy)
+    kxy9 = np.asarray(kp90.xy)[np.asarray(idx)]
+    pred = np.stack([kxy0[:, 1], 160 - 1 - kxy0[:, 0]], axis=-1)
+    err = np.linalg.norm(pred - kxy9, axis=-1)
+    good = err[np.asarray(ok) & (np.asarray(dist) < 40)]
+    assert len(good) > 10
+    assert np.median(good) < 3.0
+
+
+def test_translation_matching():
+    rng = np.random.default_rng(1234)  # local: texture quality matters here
+    cfg = VOConfig(nb_features=300, nb_levels=4)
+    base = rng.uniform(0, 255, (200, 260)).astype(np.float32)
+    base = np.asarray(gaussian_blur(jnp.asarray(base))) * 2
+    a = base[:180, :240]
+    b = base[10:190, 12:252]  # shift by (dy=10, dx=12)
+    kpa = detect_and_describe(jnp.asarray(a.copy()), cfg)
+    kpb = detect_and_describe(jnp.asarray(b.copy()), cfg)
+    idx, dist, ok = match_bruteforce(kpa.desc, kpa.valid, kpb.desc, kpb.valid)
+    mxy = np.asarray(kpb.xy)[np.asarray(idx)]
+    inl = gms_filter(kpa.xy, jnp.asarray(mxy), ok, 240.0, 180.0)
+    inl = np.asarray(inl)
+    assert inl.sum() > 10
+    disp = np.asarray(kpa.xy)[inl] - mxy[inl]
+    # b is the same texture shifted by (dx=12, dy=10): a feature at a(x, y)
+    # appears in b at (x-12, y-10), so disp = xy_a - xy_b = (+12, +10)
+    np.testing.assert_allclose(np.median(disp, axis=0), [12, 10], atol=1.5)
+
+
+def test_gms_rejects_random_matches(rng):
+    n = 300
+    xy_a = jnp.asarray(rng.uniform(0, 600, (n, 2)).astype(np.float32))
+    xy_b = jnp.asarray(rng.uniform(0, 600, (n, 2)).astype(np.float32))
+    ok = jnp.ones((n,), bool)
+    inl = gms_filter(xy_a, xy_b, ok, 640.0, 480.0)
+    assert int(inl.sum()) < 0.1 * n
