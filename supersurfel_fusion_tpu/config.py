@@ -65,6 +65,10 @@ class TPSConfig:
     # around each pixel's grid cell (gSLICr-style), which turns every
     # gather/scatter of the reference into static shifts + one einsum.
     cell_reach: int = 1
+    # merge cadence: True refreshes superpixel stats after every checkerboard
+    # phase (reference behaviour); False once per iteration (4 phases) — the
+    # standard SLIC cadence, ~2x faster with near-identical segmentations.
+    merge_every_phase: bool = False
 
 
 @dataclass(frozen=True)

@@ -86,9 +86,10 @@ def find_best_matches(model: Supersurfels, nb_visible: Array,
     fid_matched = jnp.where(proj_ok, fid, F)  # F == out-of-range sentinel
 
     # "matched" flag: any projection hit, before the similarity gates
-    _, _, matched = segmented_argmin(
-        jnp.zeros((C,), jnp.int32), fid_matched, F
-    )
+    matched = (
+        jnp.zeros((F,), jnp.int32)
+        .at[fid_matched].max(1, mode="drop")
+    ) > 0
 
     # similarity gates for fusion candidates
     fpos = (frame.positions @ R.T + t)[fid]           # frame surfel in world
@@ -110,14 +111,16 @@ def find_best_matches(model: Supersurfels, nb_visible: Array,
         & (ndot > cfg.match_min_normal_dot)
         & (dist < cfg.match_max_dist)
     )
-    # sortable integer key: quantized distance (ties -> lower model id)
+    # min-by-distance selection as ONE scatter-min with an encoded key:
+    # top bits = quantized distance, low 17 bits = model id (tie -> lower id).
+    # Replaces the reference's racy atomicExch pair deterministically.
     dq = jnp.clip(
         jnp.round(dist / cfg.match_max_dist * 4096.0), 0, 4095
     ).astype(jnp.int32)
-    key = jnp.where(gate, dq, _BIG)
+    key = jnp.where(gate, (dq << 17) | ids, _BIG)
     fid_gated = jnp.where(gate, fid, F)
-    best_idx, best_key, found = segmented_argmin(key, fid_gated, F)
-    model_match = jnp.where(found & (best_key < _BIG), best_idx, -1)
+    best = jnp.full((F,), _BIG, jnp.int32).at[fid_gated].min(key, mode="drop")
+    model_match = jnp.where(best < _BIG, best & ((1 << 17) - 1), -1)
     return MatchResult(matched=matched, model_match=model_match)
 
 
@@ -269,13 +272,28 @@ def filter_and_compact(model: Supersurfels, nb_supersurfels: Array,
     conf = jnp.where((invalid & in_range) | ~in_range, -1.0, model.confidences)
     model = model._replace(confidences=conf)
 
-    order = jnp.argsort(state, stable=True)
-    model = model.gather(order)
-    state_sorted = state[order]
+    # stable 3-way partition (active < inactive < invalid/beyond) via
+    # cumulative sums + one unique-index scatter per SoA field — replaces the
+    # thrust::sort_by_key compaction without a device sort
+    k0 = state == 0
+    k1 = state == 1
+    n0 = jnp.sum(k0.astype(jnp.int32))
+    n1 = jnp.sum(k1.astype(jnp.int32))
+    pos = jnp.where(
+        k0, jnp.cumsum(k0.astype(jnp.int32)) - 1,
+        jnp.where(
+            k1, n0 + jnp.cumsum(k1.astype(jnp.int32)) - 1,
+            n0 + n1 + jnp.cumsum((~k0 & ~k1).astype(jnp.int32)) - 1,
+        ),
+    )
 
-    nb_live = jnp.sum((state < 2).astype(jnp.int32))
-    nb_vis = jnp.sum((state == 0).astype(jnp.int32))
-    del state_sorted
+    def permute(a):
+        return jnp.zeros_like(a).at[pos].set(a, unique_indices=True)
+
+    model = jax.tree.map(permute, model)
+
+    nb_live = n0 + n1
+    nb_vis = n0
     return model, nb_live, nb_vis
 
 

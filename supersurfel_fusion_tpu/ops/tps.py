@@ -179,11 +179,20 @@ def fit_planes(disp: Array, labels: Array, inliers: Array,
     """LSQ disparity-plane fit per superpixel over inlier pixels
     (mergeTPSRGBDCoeffs_kernel + solvePlaneEquations), in label-cell-centred
     coordinates for conditioning. Returns absolute-frame theta (GH,GW,3);
-    theta = (0, 0, nan) where the fit is singular."""
+    theta = (0, 0, nan) where the fit is singular.
+
+    Moments are accumulated directly relative to the LABEL's cell centre
+    (computable per pixel from the label id alone), so one cell_reduce
+    suffices — no moment-translation pass."""
     from supersurfel_fusion_tpu.utils.geometry import solve3x3
 
     H, W = disp.shape
-    xl, yl, x, y = _pixel_local_coords(H, W, cs)
+    y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    gy_l = (labels // gw).astype(jnp.float32)
+    gx_l = (labels % gw).astype(jnp.float32)
+    xl = x - (gx_l * cs + (cs - 1) * 0.5)     # label-centred coords
+    yl = y - (gy_l * cs + (cs - 1) * 0.5)
     w = inliers.astype(jnp.float32)
     d = jnp.where(jnp.isfinite(disp), disp, 0.0)
     feats = jnp.stack(
@@ -191,37 +200,7 @@ def fit_planes(disp: Array, labels: Array, inliers: Array,
          w * d, w * xl * d, w * yl * d],
         axis=-1,
     )
-    code = _rel_code(labels, gh, gw, cs)
-    onehot = jax.nn.one_hot(code, 9, dtype=jnp.float32)
-    fc = feats.reshape(gh, cs, gw, cs, 9)
-    oc = onehot.reshape(gh, cs, gw, cs, 9)
-    partial = jnp.einsum(
-        "yaxbk,yaxbf->yxkf", oc, fc, preferred_element_type=jnp.float32
-    )  # (GH, GW, 9, 9): per spatial cell and rel-code, moment sums
-
-    # shift-theorem: translate moments from pixel-cell centre to label-cell
-    # centre (offset t = cs * (dy, dx)), then place into the label cell.
-    sums = jnp.zeros((gh, gw, 9), dtype=jnp.float32)
-    for k, (dy, dx) in enumerate(_OFFS):
-        p = partial[:, :, k, :]
-        n_, sx, sy, sxx, syy, sxy, sd, sxd, syd = [p[..., i] for i in range(9)]
-        tx, ty = float(cs * dx), float(cs * dy)
-        # x' = x - tx relative to label-cell centre
-        m = jnp.stack(
-            [
-                n_,
-                sx - tx * n_,
-                sy - ty * n_,
-                sxx - 2 * tx * sx + tx * tx * n_,
-                syy - 2 * ty * sy + ty * ty * n_,
-                sxy - tx * sy - ty * sx + tx * ty * n_,
-                sd,
-                sxd - tx * sd,
-                syd - ty * sd,
-            ],
-            axis=-1,
-        )
-        sums = sums + shift2d(m, -dy, -dx, fill=0.0)
+    sums = cell_reduce(feats, labels, gh, gw, cs)
 
     n_, sx, sy, sxx, syy, sxy, sd, sxd, syd = [sums[..., i] for i in range(9)]
     A = jnp.stack(
@@ -337,13 +316,27 @@ def _candidate_energy(stat: Array, rgbv: Array, x: Array, y: Array,
     return E, inl
 
 
-def phase_update(labels: Array, inliers: Array, stats: SuperpixelStats,
+def stat_image(stats: SuperpixelStats, labels: Array, gh: int, gw: int,
+               cs: int) -> Array:
+    """Per-pixel stat vector of each pixel's label: (H, W, 9) =
+    [cx, cy, r, g, b, n, ta, tb, tc]."""
+    table = jnp.concatenate(
+        [stats.centroid, stats.color, stats.size[..., None], stats.theta], axis=-1
+    )
+    return lookup_cells(table, _rel_code(labels, gh, gw, cs), gh, gw, cs)
+
+
+def phase_update(labels: Array, inliers: Array, own_stat: Array,
                  rgb: Array, disp: Array, phase: int, cfg: TPSConfig,
                  use_disp: bool, gh: int, gw: int):
     """One checkerboard phase of boundary-pixel label reassignment.
 
-    Returns (labels, inliers). All pixels are evaluated; the phase mask,
-    boundary gate and connectivity guard select which may switch.
+    `own_stat` is the per-pixel stat image (see `stat_image`); it is updated
+    incrementally — a pixel that adopts a neighbour's label takes that
+    candidate's (already gathered) stat vector — so the cell lookup runs only
+    when the stats table itself changes (at merges).
+
+    Returns (labels, inliers, own_stat).
     """
     H, W, _ = rgb.shape
     cs = cfg.cell_size
@@ -361,29 +354,27 @@ def phase_update(labels: Array, inliers: Array, stats: SuperpixelStats,
         _phase_mask(H, W, off_x, off_y) & (bounds > 0) & ~frozen
     )
 
-    table = jnp.concatenate(
-        [stats.centroid, stats.color, stats.size[..., None], stats.theta], axis=-1
-    )  # (GH, GW, 9)
-
-    own_code = _rel_code(labels, gh, gw, cs)
-    own_stat = lookup_cells(table, own_code, gh, gw, cs)
     E_best, inl_best = _candidate_energy(
         own_stat, rgb, x, y, disp, cfg, use_disp, own=True, min_size=min_size
     )
     E_best = E_best + cfg.lambda_bound * bounds.astype(jnp.float32)
     best_label = labels
+    best_stat = own_stat
 
-    # 4-neighbour labels (shifted views of the label image)
+    # 4-neighbour labels (shifted views of the label image).
+    # Key identity: the stat of the label AT a neighbouring pixel is just the
+    # shifted own-stat image — no lookups at all inside the phase.
     neigh_labels = [shift2d(labels, dy, dx, fill=-1) for dy, dx in _NEIGH4]
+    neigh_stats = [
+        shift2d(own_stat, dy, dx, fill=0.0) for dy, dx in _NEIGH4
+    ]
 
-    for nl in neigh_labels:
+    for nl, stat in zip(neigh_labels, neigh_stats):
         gyn, gxn = _label_cells(nl, gw)
         dyc = gyn - py + 1
         dxc = gxn - px + 1
         in_window = (dyc >= 0) & (dyc < 3) & (dxc >= 0) & (dxc < 3)
         valid = (nl >= 0) & (nl != labels) & in_window
-        code = jnp.clip(dyc, 0, 2) * 3 + jnp.clip(dxc, 0, 2)
-        stat = lookup_cells(table, code, gh, gw, cs)
         E, inl = _candidate_energy(
             stat, rgb, x, y, disp, cfg, use_disp, own=False, min_size=min_size
         )
@@ -392,21 +383,17 @@ def phase_update(labels: Array, inliers: Array, stats: SuperpixelStats,
         for nl2 in neigh_labels:
             b = b + (nl2 != nl).astype(jnp.int32)
         E = E + cfg.lambda_bound * b.astype(jnp.float32)
-        take = valid & (E < E_best)
+        take = active & valid & (E < E_best)
         E_best = jnp.where(take, E, E_best)
         best_label = jnp.where(take, nl, best_label)
+        best_stat = jnp.where(take[..., None], stat, best_stat)
         inl_best = jnp.where(take, inl, inl_best)
 
-    new_labels = jnp.where(active, best_label, labels)
     if use_disp:
-        # refresh inliers for the whole frame w.r.t. the (possibly new)
-        # label's plane — supersedes the reference's stale incremental bits
-        theta_px = lookup_cells(
-            stats.theta, _rel_code(new_labels, gh, gw, cs), gh, gw, cs
-        )
-        good, _ = compute_inliers(disp, theta_px, x, y, cfg.thresh_disp)
-        return new_labels, good
-    return new_labels, inliers
+        # inl_best is each pixel's inlier bit w.r.t. its (possibly adopted)
+        # label's plane — the refresh comes free with the energy evaluation
+        return best_label, inl_best, best_stat
+    return best_label, inliers, best_stat
 
 
 # ---------------------------------------------------------------------------
@@ -591,15 +578,21 @@ def segment(rgb: Array, disp: Array, cfg: TPSConfig) -> TPSResult:
     inliers = jnp.zeros((H, W), dtype=bool)
 
     stats = _merge_rgb(rgb, labels, gh, gw, cs)
+    S = stat_image(stats, labels, gh, gw, cs)
 
     # RGB-only iterations
     for _ in range(cfg.nb_iters // 2):
         for phase in range(4):
-            labels, inliers = phase_update(
-                labels, inliers, stats, rgb, disp, phase, cfg,
+            labels, inliers, S = phase_update(
+                labels, inliers, S, rgb, disp, phase, cfg,
                 use_disp=False, gh=gh, gw=gw,
             )
+            if cfg.merge_every_phase:
+                stats = _merge_rgb(rgb, labels, gh, gw, cs)
+                S = stat_image(stats, labels, gh, gw, cs)
+        if not cfg.merge_every_phase:
             stats = _merge_rgb(rgb, labels, gh, gw, cs)
+            S = stat_image(stats, labels, gh, gw, cs)
 
     # plane init
     if cfg.use_ransac:
@@ -608,17 +601,25 @@ def segment(rgb: Array, disp: Array, cfg: TPSConfig) -> TPSResult:
         inliers = jnp.isfinite(disp)
     theta = fit_planes(disp, labels, inliers, gh, gw, cs)
     stats = stats._replace(theta=theta)
+    S = stat_image(stats, labels, gh, gw, cs)
 
     # RGBD iterations
+    def remerge(labels, inliers):
+        rgbm = _merge_rgb(rgb, labels, gh, gw, cs)
+        theta = fit_planes(disp, labels, inliers, gh, gw, cs)
+        st = SuperpixelStats(rgbm.centroid, rgbm.color, rgbm.size, theta)
+        return st, stat_image(st, labels, gh, gw, cs)
+
     for _ in range(cfg.nb_iters - cfg.nb_iters // 2):
         for phase in range(4):
-            labels, inliers = phase_update(
-                labels, inliers, stats, rgb, disp, phase, cfg,
+            labels, inliers, S = phase_update(
+                labels, inliers, S, rgb, disp, phase, cfg,
                 use_disp=True, gh=gh, gw=gw,
             )
-            rgbm = _merge_rgb(rgb, labels, gh, gw, cs)
-            theta = fit_planes(disp, labels, inliers, gh, gw, cs)
-            stats = SuperpixelStats(rgbm.centroid, rgbm.color, rgbm.size, theta)
+            if cfg.merge_every_phase:
+                stats, S = remerge(labels, inliers)
+        if not cfg.merge_every_phase:
+            stats, S = remerge(labels, inliers)
 
     return TPSResult(
         labels=labels,

@@ -229,7 +229,7 @@ class SupersurfelFusionTPU:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
         self.state = init_state(cfg)
-        self.trajectory: list[np.ndarray] = []
+        self._poses: list[Pose] = []     # device-resident; converted lazily
         self.stamps: list[float] = []
 
     def process(self, rgb: np.ndarray, depth: np.ndarray,
@@ -239,8 +239,24 @@ class SupersurfelFusionTPU:
         self.state, out = process_frame(self.state, rgb_j, depth_j, self.cfg)
         if timestamp is not None:
             self.stamps.append(timestamp)
-            self.trajectory.append(self.pose_tum(out.pose))
+            # keep the pose on-device: a per-frame download would force a
+            # full pipeline sync every frame (27 ms round-trip on a remote
+            # TPU); the trajectory is materialized once at the end
+            self._poses.append(out.pose)
         return out
+
+    @property
+    def trajectory(self) -> list:
+        if not self._poses:
+            return []
+        # one batched download instead of per-pose round-trips
+        Rs = np.asarray(jnp.stack([p.R for p in self._poses]), dtype=np.float64)
+        ts = np.asarray(jnp.stack([p.t for p in self._poses]), dtype=np.float64)
+        from supersurfel_fusion_tpu.eval.trajectory import mat_to_quat_np
+
+        return [
+            np.concatenate([t, mat_to_quat_np(R)]) for R, t in zip(Rs, ts)
+        ]
 
     @staticmethod
     def pose_tum(pose: Pose) -> np.ndarray:
