@@ -23,8 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from supersurfel_fusion_tpu.config import PipelineConfig
+from supersurfel_fusion_tpu.ops import ferns as ferns_ops
 from supersurfel_fusion_tpu.ops import fusion as fusion_ops
 from supersurfel_fusion_tpu.ops import icp as icp_ops
+from supersurfel_fusion_tpu.ops import loop_closure as lc_ops
 from supersurfel_fusion_tpu.ops import motion as motion_ops
 from supersurfel_fusion_tpu.ops import tps as tps_ops
 from supersurfel_fusion_tpu.ops import vo as vo_ops
@@ -44,6 +46,10 @@ class SLAMState(NamedTuple):
     stamp: Array          # () int32
     local_map: vo_ops.LocalMap
     mod_prev: motion_ops.MODPrev
+    kf_store: lc_ops.KeyframeStore
+    prev_fern_id: Array   # () int32
+    last_lc_stamp: Array  # () int32
+    lc_count: Array       # () int32 — accepted loop closures
 
 
 class FrameOutput(NamedTuple):
@@ -77,6 +83,13 @@ def init_state(cfg: PipelineConfig) -> SLAMState:
         stamp=jnp.int32(0),
         local_map=vo_ops.LocalMap.empty(cfg.vo.local_map_capacity),
         mod_prev=motion_ops.init_prev(cfg.cam.height, cfg.cam.width, kp_cap),
+        kf_store=lc_ops.KeyframeStore.empty(
+            cfg.ferns.max_keyframes, cfg.ferns.nb_ferns, kp_cap,
+            cfg.nb_superpixels,
+        ),
+        prev_fern_id=jnp.int32(-1),
+        last_lc_stamp=jnp.int32(-(10**6)),
+        lc_count=jnp.int32(0),
     )
 
 
@@ -189,6 +202,93 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
             error=jnp.float32(0.0),
         )
 
+    # 10-11. fern place recognition + global loop closure
+    # (processFerns + closeGlobalLoop, supersurfel_fusion.cu:331-346, 676-882)
+    kf_store = state.kf_store
+    prev_fern_id = state.prev_fern_id
+    last_lc = state.last_lc_stamp
+    lc_count = state.lc_count
+    model_surfels = state.model.surfels
+    use_ferns = cfg.ferns.enabled or cfg.enable_loop_closure
+    if use_ferns and cfg.enable_sparse_vo:
+        fern_pos, fern_rgb, fern_depth = ferns_ops.make_fern_table(
+            cfg.ferns, cam.width, cam.height, cfg.fusion.range_max
+        )
+        codes = ferns_ops.compute_codes(
+            rgb, fdepth, fern_pos, fern_rgb, fern_depth, cfg.ferns.pyramid_level
+        )
+        best_id, best_diss, is_new = ferns_ops.query(
+            kf_store.db, codes, cfg.ferns.new_frame_thresh
+        )
+
+        # keypoint 3D positions from the filtered depth
+        # (computeFilteredKeypoints3D, sparse_vo.cpp:215-240)
+        ui = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0, cam.width - 1)
+        vi = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0, cam.height - 1)
+        zk = fdepth[vi, ui]
+        kp_depth_ok = (zk >= cfg.fusion.range_min) & (zk <= cfg.fusion.range_max)
+        kp_p3d = jnp.stack(
+            [zk * (kp.xy[:, 0] - cam.cx) / cam.fx,
+             zk * (kp.xy[:, 1] - cam.cy) / cam.fy, zk], axis=-1,
+        )
+
+        if cfg.enable_loop_closure:
+            gap = cfg.ferns.min_frame_gap
+            kf_stamp_best = kf_store.db.stamps[
+                jnp.clip(best_id, 0, kf_store.db.stamps.shape[0] - 1)
+            ]
+            lc_gate = (
+                ~is_new
+                & (kf_store.db.count > 0)
+                & (best_id != prev_fern_id)
+                & (state.stamp - last_lc > gap)
+                & (state.stamp - kf_stamp_best > gap)
+            )
+            if not cfg.enable_icp:
+                target_maps = icp_ops.build_target_maps(
+                    frame, tps.labels, plane_depth, cam, cs,
+                    cfg.fusion.range_min, cfg.fusion.range_max,
+                )
+
+            def run_lc(_):
+                return lc_ops.close_global_loop(
+                    kf_store, best_id, model_surfels,
+                    state.model.nb_supersurfels, frame, kp, kp_p3d,
+                    kp_depth_ok, target_maps, pose, state.stamp, cam, cfg.icp,
+                )
+
+            def skip_lc(_):
+                return lc_ops.LoopClosureResult(
+                    accepted=jnp.bool_(False), pose=pose, model=model_surfels,
+                    kf_poses_R=kf_store.db.poses_R,
+                    kf_poses_t=kf_store.db.poses_t,
+                )
+
+            lc = jax.lax.cond(lc_gate, run_lc, skip_lc, operand=None)
+            pose = lc.pose
+            model_surfels = lc.model
+            kf_store = kf_store._replace(
+                db=kf_store.db._replace(
+                    poses_R=lc.kf_poses_R, poses_t=lc.kf_poses_t
+                )
+            )
+            last_lc = jnp.where(lc.accepted, state.stamp, last_lc)
+            lc_count = lc_count + lc.accepted.astype(jnp.int32)
+            # accepted closure resets the VO local map at the corrected pose
+            # (SparseVO::reset via updateLocalMap, supersurfel_fusion.cu:534-535)
+            reset_map = vo_ops.reset_local_map(
+                kp, fdepth, pose.R, pose.t, cam, cfg.vo.local_map_capacity
+            )
+            lmap = jax.tree.map(
+                lambda a, b: jnp.where(
+                    jnp.reshape(lc.accepted, (1,) * a.ndim), a, b
+                ),
+                reset_map, lmap,
+            )
+        # when the frame becomes a NEW keyframe the reference records its id
+        # (ferns.cu:104-116: bestKeyFrameId = keyFrames.size())
+        prev_fern_id = jnp.where(is_new, kf_store.db.count, best_id)
+
     # 12. local-map maintenance with the final fused pose
     # (SupersurfelFusion::updateLocalMap, supersurfel_fusion.cu:532-549)
     if cfg.enable_sparse_vo:
@@ -198,13 +298,25 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
 
     # 13. model update / bootstrap
     model = fusion_ops.update_model(
-        state.model, frame, tps.labels, plane_depth, pose.R, pose.t,
-        cam, cfg.fusion, cfg.conf_thresh, state.stamp,
+        state.model._replace(surfels=model_surfels), frame, tps.labels,
+        plane_depth, pose.R, pose.t, cam, cfg.fusion, cfg.conf_thresh,
+        state.stamp,
     )
+
+    # 14. new-keyframe snapshot (Ferns::addKeyFrame, supersurfel_fusion.cu:
+    # 487-514)
+    if use_ferns and cfg.enable_sparse_vo:
+        def add_kf(ks):
+            return lc_ops.add_keyframe_payload(
+                ks, codes, pose, state.stamp, kp, kp_p3d, kp_depth_ok, frame
+            )
+
+        kf_store = jax.lax.cond(is_new, add_kf, lambda ks: ks, kf_store)
 
     new_state = SLAMState(
         model=model, pose=pose, stamp=state.stamp + 1, local_map=lmap,
-        mod_prev=mod_prev,
+        mod_prev=mod_prev, kf_store=kf_store, prev_fern_id=prev_fern_id,
+        last_lc_stamp=last_lc, lc_count=lc_count,
     )
     out = FrameOutput(
         pose=pose,
