@@ -141,3 +141,33 @@ def dryrun(n_devices: int) -> None:
         np.asarray(JtJ), np.asarray(JtJ_ref), rtol=1e-4, atol=1e-3
     )
     assert float(inl) == float(inl_ref)
+
+    # --- sharded model fusion step (map-sharded SoA + psum/pmin combine)
+    from supersurfel_fusion_tpu.config import FusionConfig
+    from supersurfel_fusion_tpu.parallel.sharding import (
+        make_distributed_model,
+        make_sharded_update,
+        totals,
+    )
+
+    fcfg = FusionConfig(nb_supersurfels_max=16 * n_devices, delta_t=1000)
+    dm = make_distributed_model(fcfg.nb_supersurfels_max, mesh)
+    step = make_sharded_update(mesh, cam, fcfg, conf_thresh=1e9)
+
+    F = 12
+    frame = Supersurfels.empty(F)._replace(
+        positions=jnp.asarray(pos[:F]),
+        orientations=jnp.tile(jnp.eye(3, dtype=jnp.float32), (F, 1, 1)),
+        shapes=jnp.tile(jnp.eye(3, dtype=jnp.float32) * 1e-4, (F, 1, 1)),
+        colors=jnp.full((F, 3), 120.0),
+        confidences=jnp.full((F,), 150.0),
+        stamps=jnp.zeros((F, 2), jnp.int32),
+    )
+    labels = jnp.zeros((cam.height, cam.width), jnp.int32)
+    pd = jnp.full((cam.height, cam.width), 1.0, jnp.float32)
+    dm = step(dm, frame, labels, pd, jnp.eye(3, dtype=jnp.float32),
+              jnp.zeros(3, jnp.float32), jnp.int32(0))
+    dm = step(dm, frame, labels, pd, jnp.eye(3, dtype=jnp.float32),
+              jnp.zeros(3, jnp.float32), jnp.int32(1))
+    nb, nvis = totals(dm)
+    assert nb > 0, "sharded fusion inserted nothing"

@@ -1,0 +1,107 @@
+"""Distributed map: sharded fusion over the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from supersurfel_fusion_tpu.config import CameraIntrinsics, FusionConfig
+from supersurfel_fusion_tpu.parallel.mesh import make_mesh
+from supersurfel_fusion_tpu.parallel.sharding import (
+    DistributedModel,
+    make_distributed_model,
+    make_sharded_update,
+    totals,
+)
+from supersurfel_fusion_tpu.types import Supersurfels
+
+CAM = CameraIntrinsics(fx=80.0, fy=80.0, cx=39.5, cy=29.5, width=80, height=60)
+GH, GW, CS = 60 // 10, 80 // 10, 10  # not used for fusion; labels synthetic
+F = 48
+
+
+def synth_frame(rng, z=1.5):
+    f = Supersurfels.empty(F)
+    pos = np.zeros((F, 3), np.float32)
+    # spread surfels over the image plane at depth z
+    gx = rng.uniform(5, 75, F)
+    gy = rng.uniform(5, 55, F)
+    pos[:, 0] = (gx - CAM.cx) * z / CAM.fx
+    pos[:, 1] = (gy - CAM.cy) * z / CAM.fy
+    pos[:, 2] = z
+    ori = np.tile(np.eye(3, dtype=np.float32), (F, 1, 1))
+    shp = np.tile(np.eye(3, dtype=np.float32) * 1e-4, (F, 1, 1))
+    return f._replace(
+        positions=jnp.asarray(pos),
+        orientations=jnp.asarray(ori),
+        shapes=jnp.asarray(shp),
+        colors=jnp.full((F, 3), 120.0),
+        confidences=jnp.full((F,), 200.0),
+        stamps=jnp.zeros((F, 2), jnp.int32),
+    ), gx, gy
+
+
+def labels_image(gx, gy):
+    """Each frame surfel owns the pixels nearest to it (toy index map)."""
+    yy, xx = np.mgrid[0:60, 0:80]
+    d = (xx[None] - gx[:, None, None]) ** 2 + (yy[None] - gy[:, None, None]) ** 2
+    return jnp.asarray(np.argmin(d, axis=0).astype(np.int32))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_update_runs_and_accumulates(rng):
+    mesh = make_mesh(8)
+    cfg = FusionConfig(nb_supersurfels_max=64 * 8, delta_t=1000)
+    dm = make_distributed_model(cfg.nb_supersurfels_max, mesh)
+    step = make_sharded_update(mesh, CAM, cfg, conf_thresh=1e9)
+
+    frame, gx, gy = synth_frame(rng)
+    labels = labels_image(gx, gy)
+    pd = jnp.full((60, 80), 1.5, jnp.float32)
+    R = jnp.eye(3, dtype=jnp.float32)
+    t = jnp.zeros(3, jnp.float32)
+
+    # frame 0: everything inserts into shard 0
+    dm = step(dm, frame, labels, pd, R, t, jnp.int32(0))
+    nb, nvis = totals(dm)
+    assert nb == F
+    assert nvis == F
+
+    # frame 1 (same content): every surfel should match & fuse, no growth
+    dm = step(dm, frame, labels, pd, R, t, jnp.int32(1))
+    nb2, nvis2 = totals(dm)
+    assert nb2 == F, (nb2, F)
+    conf = np.asarray(
+        jax.device_get(dm.surfels.confidences)
+    )
+    assert (conf[conf > 0] > 300).all()  # fused confidences accumulated
+
+    # frame 2 from a shifted camera: some surfels re-observed
+    t2 = jnp.asarray([0.02, 0.0, 0.0])
+    dm = step(dm, frame, labels, pd, R, t2, jnp.int32(2))
+    nb3, _ = totals(dm)
+    assert nb3 >= nb2
+    assert nb3 <= 2 * F
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_insert_round_robin(rng):
+    mesh = make_mesh(8)
+    cfg = FusionConfig(nb_supersurfels_max=64 * 8, delta_t=1000)
+    dm = make_distributed_model(cfg.nb_supersurfels_max, mesh)
+    step = make_sharded_update(mesh, CAM, cfg, conf_thresh=1e9)
+    R = jnp.eye(3, dtype=jnp.float32)
+    pd = jnp.full((60, 80), 1.5, jnp.float32)
+
+    # feed frames from far-apart camera poses so nothing ever re-projects:
+    # each frame is a pure insert into the round-robin shard, and the old
+    # blocks go inactive (out of view) but are kept
+    for k in range(3):
+        frame, gx, gy = synth_frame(rng)
+        labels = labels_image(gx, gy)
+        t = jnp.asarray([100.0 * k, 0.0, 0.0])
+        dm = step(dm, frame, labels, pd, R, t, jnp.int32(k))
+    counts = np.asarray(jax.device_get(dm.nb_local))
+    # three different shards took the three frames
+    assert (counts > 0).sum() == 3, counts
+    assert counts.sum() == 3 * F
