@@ -1,0 +1,238 @@
+// Native TUM RGB-D frame loader: minimal PNG decoder + prefetch thread pool.
+//
+// The TPU-native runtime equivalent of the reference's host-side IO path
+// (cv::imread in node/supersurfel_fusion_rgbd_benchmark_node.cpp): decodes
+// the two PNG flavours TUM ships (8-bit RGB color type 2 and 16-bit
+// grayscale color type 0, non-interlaced) straight into caller-provided
+// buffers, and runs a background prefetcher so PNG decode overlaps with TPU
+// compute. Exposed through a C ABI consumed via ctypes
+// (supersurfel_fusion_tpu/io/native_loader.py). Only dependency: zlib.
+//
+// Build: g++ -O3 -shared -fPIC -o libtum_loader.so tum_loader.cpp -lz -lpthread
+
+#include <zlib.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Image {
+  uint32_t width = 0, height = 0;
+  uint8_t bit_depth = 0, color_type = 0;
+  std::vector<uint8_t> pixels;  // unfiltered raw (RGB8 interleaved or
+                                // big-endian 16-bit gray)
+};
+
+uint32_t be32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+         (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+}
+
+int paeth(int a, int b, int c) {
+  int p = a + b - c;
+  int pa = std::abs(p - a), pb = std::abs(p - b), pc = std::abs(p - c);
+  if (pa <= pb && pa <= pc) return a;
+  if (pb <= pc) return b;
+  return c;
+}
+
+bool decode_png(const std::string& path, Image& out) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(size);
+  if (fread(buf.data(), 1, size, f) != size_t(size)) {
+    fclose(f);
+    return false;
+  }
+  fclose(f);
+  if (size < 45 || memcmp(buf.data(), "\x89PNG\r\n\x1a\n", 8) != 0)
+    return false;
+
+  std::vector<uint8_t> idat;
+  size_t off = 8;
+  while (off + 8 <= buf.size()) {
+    uint32_t len = be32(&buf[off]);
+    const char* type = reinterpret_cast<const char*>(&buf[off + 4]);
+    const uint8_t* data = &buf[off + 8];
+    if (memcmp(type, "IHDR", 4) == 0) {
+      out.width = be32(data);
+      out.height = be32(data + 4);
+      out.bit_depth = data[8];
+      out.color_type = data[9];
+      if (data[12] != 0) return false;  // interlaced unsupported
+    } else if (memcmp(type, "IDAT", 4) == 0) {
+      idat.insert(idat.end(), data, data + len);
+    } else if (memcmp(type, "IEND", 4) == 0) {
+      break;
+    }
+    off += 12 + len;
+  }
+
+  int channels = (out.color_type == 2) ? 3 : 1;
+  int bpp = channels * out.bit_depth / 8;  // bytes per pixel
+  size_t stride = size_t(out.width) * bpp;
+  std::vector<uint8_t> raw((stride + 1) * out.height);
+  uLongf raw_len = raw.size();
+  if (uncompress(raw.data(), &raw_len, idat.data(), idat.size()) != Z_OK)
+    return false;
+
+  out.pixels.resize(stride * out.height);
+  std::vector<uint8_t> prev(stride, 0);
+  for (uint32_t y = 0; y < out.height; y++) {
+    const uint8_t* src = &raw[(stride + 1) * y];
+    uint8_t filter = src[0];
+    src++;
+    uint8_t* dst = &out.pixels[stride * y];
+    for (size_t x = 0; x < stride; x++) {
+      int a = (x >= size_t(bpp)) ? dst[x - bpp] : 0;
+      int b = prev[x];
+      int c = (x >= size_t(bpp)) ? prev[x - bpp] : 0;
+      int v = src[x];
+      switch (filter) {
+        case 0: break;
+        case 1: v += a; break;
+        case 2: v += b; break;
+        case 3: v += (a + b) / 2; break;
+        case 4: v += paeth(a, b, c); break;
+        default: return false;
+      }
+      dst[x] = uint8_t(v);
+    }
+    memcpy(prev.data(), dst, stride);
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// Prefetcher: a worker pool decoding (rgb, depth) pairs ahead of the consumer.
+// ---------------------------------------------------------------------------
+
+struct Frame {
+  std::vector<uint8_t> rgb;      // H*W*3
+  std::vector<uint16_t> depth;   // H*W host-endian
+  uint32_t width = 0, height = 0;
+  bool ok = false;
+};
+
+struct Prefetcher {
+  std::vector<std::pair<std::string, std::string>> files;
+  std::unordered_map<int, Frame> ready;
+  std::mutex mu;
+  std::condition_variable cv_ready;
+  std::atomic<int> next_to_schedule{0};
+  int next_to_consume = 0;
+  int lookahead = 8;
+  std::vector<std::thread> workers;
+  std::atomic<bool> stop{false};
+
+  void worker() {
+    while (!stop.load()) {
+      int idx = -1;
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        int candidate = next_to_schedule.load();
+        if (candidate < int(files.size()) &&
+            candidate < next_to_consume + lookahead) {
+          idx = candidate;
+          next_to_schedule++;
+        }
+      }
+      if (idx < 0) {
+        std::this_thread::sleep_for(std::chrono::milliseconds(1));
+        continue;
+      }
+      Frame fr;
+      Image rgb_img, depth_img;
+      if (decode_png(files[idx].first, rgb_img) &&
+          decode_png(files[idx].second, depth_img) &&
+          rgb_img.color_type == 2 && depth_img.bit_depth == 16) {
+        fr.width = rgb_img.width;
+        fr.height = rgb_img.height;
+        fr.rgb = std::move(rgb_img.pixels);
+        size_t n = size_t(depth_img.width) * depth_img.height;
+        fr.depth.resize(n);
+        for (size_t i = 0; i < n; i++)  // big-endian -> host
+          fr.depth[i] = (uint16_t(depth_img.pixels[2 * i]) << 8) |
+                        depth_img.pixels[2 * i + 1];
+        fr.ok = true;
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        ready.emplace(idx, std::move(fr));
+      }
+      cv_ready.notify_all();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// one-shot synchronous decode into caller buffers (rgb: H*W*3 uint8,
+// depth: H*W uint16). Returns 1 on success.
+int tum_decode_pair(const char* rgb_path, const char* depth_path,
+                    uint8_t* rgb_out, uint16_t* depth_out, int width,
+                    int height) {
+  Image rgb_img, depth_img;
+  if (!decode_png(rgb_path, rgb_img) || !decode_png(depth_path, depth_img))
+    return 0;
+  if (int(rgb_img.width) != width || int(rgb_img.height) != height ||
+      rgb_img.color_type != 2 || depth_img.bit_depth != 16)
+    return 0;
+  memcpy(rgb_out, rgb_img.pixels.data(), size_t(width) * height * 3);
+  size_t n = size_t(width) * height;
+  for (size_t i = 0; i < n; i++)
+    depth_out[i] = (uint16_t(depth_img.pixels[2 * i]) << 8) |
+                   depth_img.pixels[2 * i + 1];
+  return 1;
+}
+
+void* tum_prefetcher_create(const char** rgb_paths, const char** depth_paths,
+                            int n, int n_threads, int lookahead) {
+  auto* p = new Prefetcher();
+  p->files.reserve(n);
+  for (int i = 0; i < n; i++) p->files.emplace_back(rgb_paths[i], depth_paths[i]);
+  p->lookahead = lookahead;
+  for (int i = 0; i < n_threads; i++)
+    p->workers.emplace_back(&Prefetcher::worker, p);
+  return p;
+}
+
+// blocking: fetch frame `idx` (must be consumed in order for best overlap)
+int tum_prefetcher_get(void* handle, int idx, uint8_t* rgb_out,
+                       uint16_t* depth_out, int width, int height) {
+  auto* p = static_cast<Prefetcher*>(handle);
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->next_to_consume = idx;
+  p->cv_ready.wait(lk, [&] { return p->ready.count(idx) > 0; });
+  Frame fr = std::move(p->ready[idx]);
+  p->ready.erase(idx);
+  lk.unlock();
+  if (!fr.ok || int(fr.width) != width || int(fr.height) != height) return 0;
+  memcpy(rgb_out, fr.rgb.data(), size_t(width) * height * 3);
+  memcpy(depth_out, fr.depth.data(), size_t(width) * height * 2);
+  return 1;
+}
+
+void tum_prefetcher_destroy(void* handle) {
+  auto* p = static_cast<Prefetcher*>(handle);
+  p->stop.store(true);
+  for (auto& t : p->workers) t.join();
+  delete p;
+}
+
+}  // extern "C"

@@ -31,6 +31,11 @@ def main(argv=None) -> int:
     ap.add_argument("--mod", action="store_true", help="enable moving-object detection")
     ap.add_argument("--no-vo", action="store_true", help="disable sparse VO (ICP only)")
     ap.add_argument("--no-icp", action="store_true", help="disable dense ICP (VO only)")
+    ap.add_argument("--loop-closure", action="store_true",
+                    help="enable ferns + global loop closure")
+    ap.add_argument("--save-model", default=None,
+                    help="export the final model (reference text format, or "
+                         ".ply)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -67,15 +72,49 @@ def main(argv=None) -> int:
         mod=MODConfig(enabled=args.mod),
         enable_sparse_vo=not args.no_vo,
         enable_icp=not args.no_icp,
+        enable_loop_closure=args.loop_closure,
     )
+    if args.loop_closure:
+        import dataclasses
+
+        from supersurfel_fusion_tpu.config import FernsConfig
+
+        cfg = dataclasses.replace(cfg, ferns=FernsConfig(enabled=True))
     ds = TUMDataset(args.dataset, depth_scale=args.depth_scale)
     n = len(ds) if args.max_frames is None else min(args.max_frames, len(ds))
+
+    # native prefetching loader (background PNG decode); PIL fallback
+    prefetcher = None
+    try:
+        from supersurfel_fusion_tpu.io.native_loader import PrefetchingLoader
+
+        pairs = [
+            (os.path.join(args.dataset, a.rgb_file),
+             os.path.join(args.dataset, a.depth_file))
+            for a in ds.associations[:n]
+        ]
+        prefetcher = PrefetchingLoader(pairs, cam.width, cam.height)
+    except Exception as e:  # no toolchain / build failure
+        if not args.quiet:
+            print(f"native loader unavailable ({e}); using PIL", flush=True)
+
+    def get_frame(i):
+        if prefetcher is not None:
+            rgb, depth16 = prefetcher.get(i)
+            a = ds.associations[i]
+            from supersurfel_fusion_tpu.io.tum import TUMFrame
+            import numpy as _np
+
+            return TUMFrame(i, a.rgb_ts, rgb,
+                            depth16.astype(_np.float32) * args.depth_scale,
+                            a.gt)
+        return ds.load_frame(i)
 
     slam = SupersurfelFusionTPU(cfg)
     t_start = time.time()
     t_first = None
     for i in range(n):
-        f = ds.load_frame(i)
+        f = get_frame(i)
         out = slam.process(f.rgb, f.depth, f.timestamp)
         if i == 0:
             out.pose.t.block_until_ready()
@@ -93,6 +132,20 @@ def main(argv=None) -> int:
 
     traj_path = args.out or os.path.join("/tmp", f"estimated_{name}.txt")
     write_trajectory(traj_path, slam.stamps, slam.trajectory)
+
+    if args.save_model:
+        from supersurfel_fusion_tpu.io.export import (
+            export_model,
+            export_model_ply,
+        )
+
+        st = slam.state
+        nmod = int(st.model.nb_supersurfels)
+        if args.save_model.endswith(".ply"):
+            export_model_ply(args.save_model, st.model.surfels, nmod)
+        else:
+            export_model(args.save_model, st.model.surfels, nmod,
+                         cfg.conf_thresh)
 
     est = {t: p for t, p in zip(slam.stamps, slam.trajectory)}
     gt = {

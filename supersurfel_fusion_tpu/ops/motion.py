@@ -282,3 +282,58 @@ def init_prev(h: int, w: int, k: int) -> MODPrev:
         kp_valid=jnp.zeros((k,), bool),
         initialized=jnp.bool_(False),
     )
+
+
+def person_flood_fill(boxes: Array, boxes_valid: Array, adj: Array,
+                      centroids: Array, positions: Array, conf: Array,
+                      labels: Array, gh: int, gw: int,
+                      depth_gate: float = 0.3, n_iters: int = 48) -> Array:
+    """Mark superpixels inside person detections as dynamic.
+
+    TPU rewrite of the reference's depth-guided flood fill from YOLO boxes
+    (detectMotionCombined, motion_detection.cu:780-847): seed at the box
+    centre's superpixel (stepped to the nearest-depth neighbour inside the
+    box, like the reference's seed refinement), then propagate over the
+    adjacency stencil to superpixels whose centroid lies in the box and whose
+    depth is within `depth_gate` of the seed.
+
+    boxes: (B, 4) [x0, y0, x1, y1]; centroids (GH, GW, 2); positions
+    (GH, GW, 3) camera frame; conf (GH, GW). Returns dynamic (GH, GW) bool.
+    """
+    B = boxes.shape[0]
+    H = gh * 16  # only used for clipping the seed pixel
+    dynamic = jnp.zeros((gh, gw), dtype=bool)
+
+    cx = centroids[..., 0]
+    cy = centroids[..., 1]
+
+    for b in range(B):
+        box = boxes[b]
+        ok = boxes_valid[b]
+        in_box = (
+            (cx >= box[0]) & (cx < box[2]) & (cy >= box[1]) & (cy < box[3])
+        )
+        # seed: superpixel at the box centre pixel
+        px = jnp.clip(((box[0] + box[2]) * 0.5 / 16.0).astype(jnp.int32),
+                      0, gw - 1)
+        py = jnp.clip(((box[1] + box[3]) * 0.5 / 16.0).astype(jnp.int32),
+                      0, gh - 1)
+        seed = jnp.zeros((gh, gw), dtype=bool).at[py, px].set(True)
+        z_seed = positions[py, px, 2]
+        # depth-similar & inside the box
+        eligible = in_box & (
+            jnp.abs(positions[..., 2] - z_seed) < depth_gate
+        ) & (conf > 0.0)
+
+        def prop(_, m):
+            grown = m
+            for k, (dy, dx) in enumerate(_OFFS25):
+                if dy == 0 and dx == 0:
+                    continue
+                grown = grown | (_shift_table(m, dy, dx, fill=False) & adj[..., k])
+            return m | (grown & eligible)
+
+        filled = jax.lax.fori_loop(0, n_iters, prop, seed)
+        dynamic = dynamic | jnp.where(ok, filled & in_box, False)
+
+    return dynamic
