@@ -69,6 +69,9 @@ class TPSConfig:
     # phase (reference behaviour); False once per iteration (4 phases) — the
     # standard SLIC cadence, ~2x faster with near-identical segmentations.
     merge_every_phase: bool = False
+    # run the segmentation iteration loop as the fused Pallas VMEM-resident
+    # kernel (ops/tps_pallas.py) when on TPU — ~4x faster than the XLA path
+    use_pallas: bool = True
 
 
 @dataclass(frozen=True)

@@ -120,7 +120,12 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
     disp = depth_to_disp(fdepth)
 
     # 2-5. TPS superpixels + plane smoothing + slanted-plane depth
-    tps = tps_ops.segment(rgb, disp, cfg.tps)
+    if cfg.tps.use_pallas and jax.default_backend() not in ("cpu",):
+        from supersurfel_fusion_tpu.ops import tps_pallas
+
+        tps = tps_pallas.segment(rgb, disp, cfg.tps)
+    else:
+        tps = tps_ops.segment(rgb, disp, cfg.tps)
     theta_s = tps_ops.smooth_planes(tps.stats, cfg.tps)
     tps = tps._replace(stats=tps.stats._replace(theta=theta_s))
     plane_depth = tps_ops.render_plane_depth(theta_s, tps.labels, gh, gw, cs)
