@@ -29,8 +29,9 @@ def main() -> int:
     ds = TUMDataset(DATASET)
     n = min(N_FRAMES, len(ds))
 
-    # pre-decode frames so PNG IO doesn't pollute the device measurement
-    frames = [ds.load_frame(i) for i in range(n)]
+    # pre-decode frames so PNG IO doesn't pollute the device measurement;
+    # raw uint8/uint16 keeps the per-frame host->device upload at 1.5 MB
+    frames = [ds.load_frame_raw(i) for i in range(n)]
 
     slam = SupersurfelFusionTPU(cfg)
     # warmup/compile on frame 0

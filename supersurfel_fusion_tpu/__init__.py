@@ -10,6 +10,24 @@ Gauss-Newton, `jax.sharding` scale-out) rather than as a CUDA port.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the full frame pipeline is one large
+# program whose first (remote) compile can take minutes; caching the
+# serialized executable makes every subsequent process start in seconds.
+_cache_dir = _os.environ.get(
+    "SSF_TPU_COMPILATION_CACHE", _os.path.expanduser("~/.cache/jax_comp")
+)
+if _cache_dir and _cache_dir != "0":
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # older jax without these flags
+        pass
+
 from supersurfel_fusion_tpu.config import (
     CameraIntrinsics,
     TPSConfig,

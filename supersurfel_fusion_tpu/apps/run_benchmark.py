@@ -29,6 +29,11 @@ def main(argv=None) -> int:
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--depth-scale", type=float, default=1.0 / 5000.0)
     ap.add_argument("--mod", action="store_true", help="enable moving-object detection")
+    ap.add_argument("--yolo", action="store_true",
+                    help="combined MOD: person detector + flood fill "
+                         "(needs --weights)")
+    ap.add_argument("--weights", default="weights/person_detector.npz",
+                    help="person-detector .npz checkpoint for --yolo")
     ap.add_argument("--no-vo", action="store_true", help="disable sparse VO (ICP only)")
     ap.add_argument("--no-icp", action="store_true", help="disable dense ICP (VO only)")
     ap.add_argument("--loop-closure", action="store_true",
@@ -36,6 +41,11 @@ def main(argv=None) -> int:
     ap.add_argument("--save-model", default=None,
                     help="export the final model (reference text format, or "
                          ".ply)")
+    ap.add_argument("--dump-images", default=None, metavar="DIR",
+                    help="write superpixel/slanted-plane/MOD-mask/model "
+                         "renders for every --dump-every frames to DIR "
+                         "(the reference node's image topics)")
+    ap.add_argument("--dump-every", type=int, default=25)
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -66,10 +76,15 @@ def main(argv=None) -> int:
         "fr3": CameraIntrinsics.tum_fr3,
     }[cam_key]()
 
+    weights = args.weights if args.yolo and os.path.exists(args.weights) else ""
+    if args.yolo and not weights and not args.quiet:
+        print(f"--yolo: weights {args.weights} not found; "
+              "running simple MOD", flush=True)
     cfg = PipelineConfig(
         cam=cam,
         depth_scale=args.depth_scale,
-        mod=MODConfig(enabled=args.mod),
+        mod=MODConfig(enabled=args.mod or args.yolo, use_yolo=bool(weights),
+                      weights_path=weights),
         enable_sparse_vo=not args.no_vo,
         enable_icp=not args.no_icp,
         enable_loop_closure=args.loop_closure,
@@ -99,16 +114,18 @@ def main(argv=None) -> int:
             print(f"native loader unavailable ({e}); using PIL", flush=True)
 
     def get_frame(i):
+        # raw uint8 rgb + uint16 depth: the pipeline converts on-device,
+        # keeping the host->device upload at 1.5 MB/frame
         if prefetcher is not None:
             rgb, depth16 = prefetcher.get(i)
             a = ds.associations[i]
             from supersurfel_fusion_tpu.io.tum import TUMFrame
-            import numpy as _np
 
-            return TUMFrame(i, a.rgb_ts, rgb,
-                            depth16.astype(_np.float32) * args.depth_scale,
-                            a.gt)
-        return ds.load_frame(i)
+            return TUMFrame(i, a.rgb_ts, rgb, depth16, a.gt)
+        return ds.load_frame_raw(i)
+
+    if args.dump_images:
+        os.makedirs(args.dump_images, exist_ok=True)
 
     slam = SupersurfelFusionTPU(cfg)
     t_start = time.time()
@@ -124,6 +141,33 @@ def main(argv=None) -> int:
                 f"frame {i}/{n} icp_valid={bool(out.icp_valid)} "
                 f"nb={int(out.nb_supersurfels)} vis={int(out.nb_visible)}",
                 flush=True,
+            )
+        if args.dump_images and i % args.dump_every == 0:
+            import numpy as _np
+
+            from supersurfel_fusion_tpu.viz import render as _rv
+
+            labels = _np.asarray(out.labels)
+            d = args.dump_images
+            _rv.save_png(os.path.join(d, f"superpixels_{i:05d}.png"),
+                         _rv.superpixel_image(f.rgb, labels))
+            _rv.save_png(os.path.join(d, f"slanted_plane_{i:05d}.png"),
+                         _rv.slanted_plane_image(_np.asarray(out.plane_depth)))
+            if cfg.mod.enabled:
+                _rv.save_png(os.path.join(d, f"mod_mask_{i:05d}.png"),
+                             _rv.mod_mask_image(labels, _np.asarray(out.static_sp)))
+            st = slam.state
+            _rv.save_png(
+                os.path.join(d, f"model_{i:05d}.png"),
+                _rv.model_image(
+                    _np.asarray(st.model.surfels.positions),
+                    _np.asarray(st.model.surfels.colors),
+                    _np.asarray(st.model.surfels.dims),
+                    _np.asarray(st.model.surfels.confidences),
+                    int(st.model.nb_supersurfels),
+                    _np.asarray(out.pose.R), _np.asarray(out.pose.t),
+                    cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+                ),
             )
     out.pose.t.block_until_ready()
     t_end = time.time()
@@ -151,7 +195,10 @@ def main(argv=None) -> int:
     gt = {
         a.rgb_ts: a.gt for a in ds.associations[:n] if a.gt is not None
     }
-    result = {"frames": n, "fps": round(fps, 2), "trajectory": traj_path}
+    # 104 B/surfel: 24 floats + int2, supersurfel_fusion.cu:524-525
+    model_mb = int(slam.state.model.nb_supersurfels) * 104 / 1e6
+    result = {"frames": n, "fps": round(fps, 2), "trajectory": traj_path,
+              "model_mb": round(model_mb, 2)}
     if len(gt) > 2:
         r = ate(est, gt)
         result.update(

@@ -70,7 +70,9 @@ class TPSConfig:
     # standard SLIC cadence, ~2x faster with near-identical segmentations.
     merge_every_phase: bool = False
     # run the segmentation iteration loop as the fused Pallas VMEM-resident
-    # kernel (ops/tps_pallas.py) when on TPU — ~4x faster than the XLA path
+    # kernel (ops/tps_pallas.py) when on TPU (segmentation-stage
+    # microbenchmark: ~4x faster than the XLA segment(); end-to-end frame
+    # rate is dominated by the rest of the pipeline — see bench.py output)
     use_pallas: bool = True
 
 
@@ -96,7 +98,17 @@ class FusionConfig:
     """Model fusion/maintenance (reference: `supersurfel_fusion.cu:350-483`
     and `supersurfel_fusion_kernels.cu:522-682, 397-467`)."""
 
-    nb_supersurfels_max: int = 1 << 17   # 131072 >= reference cap of 100k
+    # Capacity bound. The reference launches with 50k-100k
+    # (`launch/*.launch`); its stale/free-space eviction (delta_t=20) keeps
+    # the realised fill of TUM-class scenes at a few thousand surfels, so
+    # 65536 gives >10x headroom while halving per-frame maintenance work.
+    nb_supersurfels_max: int = 1 << 16
+    # static prefix bound on the per-frame *active* (visible) set: compaction
+    # sorts active surfels first, so ICP and projective association only ever
+    # read the first `visible_cap` slots instead of the full capacity —
+    # 4-8x less gather/matmul work with identical results while
+    # nb_visible <= visible_cap (measured fr1/xyz peak: ~1.7k).
+    visible_cap: int = 16384
     delta_t: int = 20
     conf_thresh_scale: float = 10.0
     range_min: float = 0.2
@@ -146,7 +158,16 @@ class MODConfig:
     `core/src/motion_detection.cu`)."""
 
     enabled: bool = False
+    # combined person-detector + clustering path (detectMotionCombined,
+    # motion_detection.cu:680-1121). Requires `weights_path` to point at an
+    # .npz checkpoint for models/person_detector.py; with no weights the
+    # simple geometric+flow path runs (same graceful fallback as the
+    # reference, whose darknet weights blob is likewise absent).
     use_yolo: bool = False
+    weights_path: str = ""
+    person_depth_gate: float = 0.3    # flood-fill depth window (m)
+    person_score_thresh: float = 0.3
+    max_person_boxes: int = 8
     convexity_thresh: float = 0.2     # motion_detection.cu:219-226
     cc_iters: int = 64                # label-propagation iterations
 

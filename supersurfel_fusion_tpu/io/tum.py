@@ -135,6 +135,18 @@ class TUMDataset:
         depth = depth_raw.astype(np.float32) * self.depth_scale
         return TUMFrame(i, a.rgb_ts, rgb[..., :3], depth, a.gt)
 
+    def load_frame_raw(self, i: int) -> TUMFrame:
+        """Like `load_frame` but keeps depth as raw uint16 counts — the
+        pipeline converts on device (depth_scale applied in-graph), so only
+        ~1.5 MB/frame crosses the host->device link instead of ~4.9 MB."""
+        if Image is None:  # pragma: no cover
+            raise RuntimeError("PIL is required to decode TUM PNG frames")
+        a = self.associations[i]
+        rgb = np.asarray(Image.open(os.path.join(self.root, a.rgb_file)), dtype=np.uint8)
+        depth_raw = np.asarray(Image.open(os.path.join(self.root, a.depth_file)))
+        return TUMFrame(i, a.rgb_ts, rgb[..., :3],
+                        np.ascontiguousarray(depth_raw.astype(np.uint16)), a.gt)
+
     def frames(self, start: int = 0, stop: Optional[int] = None,
                step: int = 1) -> Iterator[TUMFrame]:
         stop = len(self) if stop is None else min(stop, len(self))

@@ -5,9 +5,10 @@ TPU-native rewrite of the reference's model update pass
 (`findBestMatches`, `updateSupersurfels`, `insertSupersurfels`,
 `filterModel` — `core/src/supersurfel_fusion_kernels.cu:522-682, 348-467`):
 
-* The racy atomicExch min-by-distance match selection becomes a
-  deterministic lexicographic sort + searchsorted segmented-argmin
-  (`segmented_argmin`) — no scatters in the association.
+* The racy atomicExch min-by-distance match selection becomes ONE
+  deterministic scatter-min with an encoded key (quantized distance in the
+  high bits, model id in the low bits — see `find_best_matches`), so ties
+  break toward the lower id instead of by warp timing.
 * The warp-aggregated insertion counter becomes a cumulative-sum compaction.
 * The thrust sort_by_key compaction becomes a stable argsort over the state
   key followed by a gather of the SoA — identical active < inactive < invalid
@@ -33,24 +34,6 @@ Array = jax.Array
 _BIG = jnp.int32(2**30)
 
 
-def segmented_argmin(keys: Array, segment_ids: Array, num_segments: int):
-    """For each segment s: index (into `keys`) of the smallest key with
-    segment_ids == s. Entries with segment_ids >= num_segments are ignored.
-
-    Returns (best_idx (S,), best_key (S,), found (S,) bool). Deterministic:
-    ties break toward the smallest original index via a stable sort.
-    """
-    n = keys.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    seg_s, key_s, idx_s = jax.lax.sort(
-        (segment_ids, keys, idx), num_keys=2, is_stable=True
-    )
-    starts = jnp.searchsorted(seg_s, jnp.arange(num_segments, dtype=segment_ids.dtype))
-    starts_c = jnp.clip(starts, 0, n - 1)
-    found = (starts < n) & (seg_s[starts_c] == jnp.arange(num_segments))
-    return idx_s[starts_c], key_s[starts_c], found
-
-
 class MatchResult(NamedTuple):
     matched: Array        # (F,) bool — frame superpixel was hit by a projection
     model_match: Array    # (F,) int32 — best matching model id, or -1
@@ -62,13 +45,18 @@ def find_best_matches(model: Supersurfels, nb_visible: Array,
                       cfg: FusionConfig) -> MatchResult:
     """Projective model->frame association with min-distance selection
     (findBestMatches, supersurfel_fusion_kernels.cu:522-599). (R, t) is the
-    camera->world pose; the view transform is inverted internally."""
+    camera->world pose; the view transform is inverted internally.
+
+    Only the active prefix matters: callers may pass a model SoA statically
+    sliced to `visible_cap` rows — the returned `model_match` ids index that
+    same prefix, which is also a valid global index (compaction keeps actives
+    first)."""
     C = model.capacity
     F = frame.capacity
     H, W = labels.shape
 
     ids = jnp.arange(C, dtype=jnp.int32)
-    live = (ids < nb_visible) & (model.confidences > 0.0)
+    live = (ids < jnp.minimum(nb_visible, C)) & (model.confidences > 0.0)
 
     Rv = R.T
     tv = -(Rv @ t)
@@ -323,7 +311,9 @@ def update_model(state: ModelState, frame: Supersurfels, labels: Array,
         return ModelState(boot, jnp.int32(F), jnp.int32(F))
 
     def normal(_):
-        match = find_best_matches(model, nbv, frame, labels, R, t, cam, cfg)
+        vcap = min(cfg.visible_cap, model.capacity)
+        vis_model = jax.tree.map(lambda a: a[:vcap], model)
+        match = find_best_matches(vis_model, nbv, frame, labels, R, t, cam, cfg)
         fused = _fuse(frame, model, match, R, t, stamp)
         inserted, nb_new = _insert(frame, fused, match, nb, R, t, stamp)
         compacted, nb_live, nb_vis = filter_and_compact(

@@ -159,8 +159,12 @@ def detect_motion(
     cam: CameraIntrinsics,
     tps_cfg: TPSConfig,
     cfg: MODConfig,
+    detector_params=None,
 ):
-    """Full simple-MOD pass.
+    """Full MOD pass: geometric clustering + residual flow, optionally
+    combined with the person detector (detectMotionCombined,
+    motion_detection.cu:680-1121) when `detector_params` is given and
+    cfg.use_yolo is set.
 
     Returns (is_static_sp (N,) bool, static_kp (K,) bool, new_prev).
     On the first frame (prev.initialized false) everything is static."""
@@ -253,8 +257,31 @@ def detect_motion(
     dyn_cluster = cl_mean > flow_thresh                        # (N+1,)
     dynamic = (label >= 0) & dyn_cluster[lab_c]
 
+    # ---- combined path: person boxes -> depth-guided flood fill ->
+    # cluster override (detectMotionCombined, motion_detection.cu:680-1121).
+    # A cluster touched by a person fill goes dynamic regardless of flow;
+    # the fill itself (box-shaped, depth-gated) is also marked directly.
+    if cfg.use_yolo and detector_params is not None:
+        from supersurfel_fusion_tpu.models.person_detector import detect
+
+        det = detect(detector_params, rgb_gray, depth,
+                     max_det=cfg.max_person_boxes,
+                     score_thresh=cfg.person_score_thresh)
+        person = person_flood_fill(
+            det.boxes, det.valid, adj, tps.stats.centroid, pos_t, conf_t,
+            tps.labels, gh, gw, cs, depth_gate=cfg.person_depth_gate,
+        ).reshape(-1)
+        person_cluster = (
+            jnp.zeros((n_sp + 1,), bool).at[lab_c].max(person)
+        )
+        dynamic = dynamic | person | ((label >= 0) & person_cluster[lab_c])
+
     first_frame = ~prev.initialized | ~H_ok
-    is_static_sp = jnp.where(first_frame, True, ~dynamic)
+    # person-driven dynamics apply even when flow compensation failed
+    if cfg.use_yolo and detector_params is not None:
+        is_static_sp = jnp.where(first_frame, ~person, ~dynamic)
+    else:
+        is_static_sp = jnp.where(first_frame, True, ~dynamic)
 
     # ---- static keypoints (dynamic ones dropped from VO + prev context)
     ui = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0, W - 1)
@@ -286,7 +313,7 @@ def init_prev(h: int, w: int, k: int) -> MODPrev:
 
 def person_flood_fill(boxes: Array, boxes_valid: Array, adj: Array,
                       centroids: Array, positions: Array, conf: Array,
-                      labels: Array, gh: int, gw: int,
+                      labels: Array, gh: int, gw: int, cs: int = 16,
                       depth_gate: float = 0.3, n_iters: int = 48) -> Array:
     """Mark superpixels inside person detections as dynamic.
 
@@ -301,7 +328,6 @@ def person_flood_fill(boxes: Array, boxes_valid: Array, adj: Array,
     (GH, GW, 3) camera frame; conf (GH, GW). Returns dynamic (GH, GW) bool.
     """
     B = boxes.shape[0]
-    H = gh * 16  # only used for clipping the seed pixel
     dynamic = jnp.zeros((gh, gw), dtype=bool)
 
     cx = centroids[..., 0]
@@ -314,9 +340,9 @@ def person_flood_fill(boxes: Array, boxes_valid: Array, adj: Array,
             (cx >= box[0]) & (cx < box[2]) & (cy >= box[1]) & (cy < box[3])
         )
         # seed: superpixel at the box centre pixel
-        px = jnp.clip(((box[0] + box[2]) * 0.5 / 16.0).astype(jnp.int32),
+        px = jnp.clip(((box[0] + box[2]) * 0.5 / cs).astype(jnp.int32),
                       0, gw - 1)
-        py = jnp.clip(((box[1] + box[3]) * 0.5 / 16.0).astype(jnp.int32),
+        py = jnp.clip(((box[1] + box[3]) * 0.5 / cs).astype(jnp.int32),
                       0, gh - 1)
         seed = jnp.zeros((gh, gw), dtype=bool).at[py, px].set(True)
         z_seed = positions[py, px, 2]

@@ -405,19 +405,6 @@ def run_iterations(rgb_chw: Array, disp: Array, labels: Array, inliers: Array,
 # ---------------------------------------------------------------------------
 
 
-def _table_from_stats(stats: tps_ref.SuperpixelStats) -> Array:
-    th = jnp.nan_to_num(stats.theta, nan=0.0, posinf=0.0, neginf=0.0)
-    # invalid fits carry tc = -1e30 (fails dp > 0 gates like the nan did)
-    bad = ~jnp.isfinite(stats.theta[..., 2])
-    tc = jnp.where(bad, -1e30, th[..., 2])
-    return jnp.stack(
-        [stats.centroid[..., 0], stats.centroid[..., 1],
-         stats.color[..., 0], stats.color[..., 1], stats.color[..., 2],
-         stats.size, th[..., 0], th[..., 1], tc],
-        axis=0,
-    )
-
-
 def _stats_from_table(table: Array) -> tps_ref.SuperpixelStats:
     bad = table[8] < -1e29
     nan = jnp.float32(jnp.nan)

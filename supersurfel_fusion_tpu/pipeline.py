@@ -50,6 +50,7 @@ class SLAMState(NamedTuple):
     prev_fern_id: Array   # () int32
     last_lc_stamp: Array  # () int32
     lc_count: Array       # () int32 — accepted loop closures
+    mod_params: Optional[dict] = None  # person-detector weights (use_yolo)
 
 
 class FrameOutput(NamedTuple):
@@ -63,6 +64,7 @@ class FrameOutput(NamedTuple):
     nb_visible: Array
     labels: Array         # (H, W) superpixel index image
     plane_depth: Array    # (H, W) slanted-plane depth
+    static_sp: Array      # (N_sp,) bool — False = detected as moving (MOD)
 
 
 def init_state(cfg: PipelineConfig) -> SLAMState:
@@ -77,7 +79,13 @@ def init_state(cfg: PipelineConfig) -> SLAMState:
         jax.ShapeDtypeStruct((cfg.cam.height, cfg.cam.width), jnp.float32),
     )
     kp_cap = kp_shape.xy.shape[0]
+    mod_params = None
+    if cfg.mod.enabled and cfg.mod.use_yolo and cfg.mod.weights_path:
+        from supersurfel_fusion_tpu.models.person_detector import load_params
+
+        mod_params = load_params(cfg.mod.weights_path)
     return SLAMState(
+        mod_params=mod_params,
         model=model,
         pose=Pose.identity(),
         stamp=jnp.int32(0),
@@ -96,8 +104,19 @@ def init_state(cfg: PipelineConfig) -> SLAMState:
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def process_frame(state: SLAMState, rgb: Array, depth: Array,
                   cfg: PipelineConfig) -> Tuple[SLAMState, FrameOutput]:
-    """One SLAM step. rgb: (H, W, 3) float32 [0,255]; depth: (H, W) metres
-    (0 invalid). Returns (new_state, outputs)."""
+    """One SLAM step.
+
+    rgb: (H, W, 3) float32 [0,255] or uint8; depth: (H, W) float32 metres
+    (0 invalid) or raw uint16 counts (scaled by cfg.depth_scale in-graph).
+    Feeding the integer encodings is 3.2x cheaper on the host->device link
+    (1.5 MB vs 4.9 MB/frame) — the conversions below run on-device.
+    Returns (new_state, outputs)."""
+    if rgb.dtype != jnp.float32:
+        rgb = rgb.astype(jnp.float32)
+    if depth.dtype in (jnp.uint16, jnp.int32):
+        depth = depth.astype(jnp.float32) * cfg.depth_scale
+    elif depth.dtype != jnp.float32:
+        depth = depth.astype(jnp.float32)
     with jax.default_matmul_precision("float32"):
         return _process_frame_impl(state, rgb, depth, cfg)
 
@@ -120,7 +139,10 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
     disp = depth_to_disp(fdepth)
 
     # 2-5. TPS superpixels + plane smoothing + slanted-plane depth
-    if cfg.tps.use_pallas and jax.default_backend() not in ("cpu",):
+    # Mosaic kernel is TPU-only; it also implements only the once-per-iteration
+    # merge cadence, so reference-cadence configs fall back to the XLA path.
+    if (cfg.tps.use_pallas and not cfg.tps.merge_every_phase
+            and jax.default_backend() == "tpu"):
         from supersurfel_fusion_tpu.ops import tps_pallas
 
         tps = tps_pallas.segment(rgb, disp, cfg.tps)
@@ -143,12 +165,14 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
     lmap = state.local_map
     mod_prev = state.mod_prev
     static_kp = None
+    is_static_sp = jnp.ones((cfg.nb_superpixels,), dtype=bool)
     if cfg.enable_sparse_vo:
         gray = rgb_to_gray(rgb)
         kp = detect_and_describe(gray, cfg.vo)
         if cfg.mod.enabled:
             is_static_sp, static_kp, mod_prev = motion_ops.detect_motion(
-                gray, fdepth, mod_prev, kp, frame, tps, cam, cfg.tps, cfg.mod
+                gray, fdepth, mod_prev, kp, frame, tps, cam, cfg.tps, cfg.mod,
+                detector_params=state.mod_params,
             )
             # dynamic superpixels are excluded from fusion/ICP/VO
             # (confidence = -1, motion_detection.cu:570-575)
@@ -184,8 +208,12 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
             frame, tps.labels, plane_depth, cam, cs,
             cfg.fusion.range_min, cfg.fusion.range_max,
         )
+        # actives are compacted to the front, so the GN loop only reads the
+        # first `visible_cap` slots (2.7x less gather/MXU work per iteration)
+        vcap = min(cfg.fusion.visible_cap, cfg.fusion.nb_supersurfels_max)
+        vis_surfels = jax.tree.map(lambda a: a[:vcap], state.model.surfels)
         icp = icp_ops.symmetric_icp(
-            state.model.surfels, state.model.nb_visible, target_maps,
+            vis_surfels, state.model.nb_visible, target_maps,
             R_view, t_view, cam, cfg.icp,
         )
 
@@ -321,7 +349,7 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
     new_state = SLAMState(
         model=model, pose=pose, stamp=state.stamp + 1, local_map=lmap,
         mod_prev=mod_prev, kf_store=kf_store, prev_fern_id=prev_fern_id,
-        last_lc_stamp=last_lc, lc_count=lc_count,
+        last_lc_stamp=last_lc, lc_count=lc_count, mod_params=state.mod_params,
     )
     out = FrameOutput(
         pose=pose,
@@ -334,6 +362,7 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
         nb_visible=model.nb_visible,
         labels=tps.labels,
         plane_depth=plane_depth,
+        static_sp=is_static_sp,
     )
     return new_state, out
 
@@ -351,8 +380,9 @@ class SupersurfelFusionTPU:
 
     def process(self, rgb: np.ndarray, depth: np.ndarray,
                 timestamp: Optional[float] = None) -> FrameOutput:
-        rgb_j = jnp.asarray(rgb, jnp.float32)
-        depth_j = jnp.asarray(depth, jnp.float32)
+        # keep integer encodings intact — process_frame converts on-device
+        rgb_j = jnp.asarray(rgb)
+        depth_j = jnp.asarray(depth)
         self.state, out = process_frame(self.state, rgb_j, depth_j, self.cfg)
         if timestamp is not None:
             self.stamps.append(timestamp)

@@ -7,32 +7,8 @@ from supersurfel_fusion_tpu.ops.fusion import (
     _insert,
     MatchResult,
     filter_and_compact,
-    segmented_argmin,
 )
 from supersurfel_fusion_tpu.types import Supersurfels
-
-
-def test_segmented_argmin_basic():
-    keys = jnp.asarray([5, 3, 9, 1, 7, 3], jnp.int32)
-    segs = jnp.asarray([0, 0, 1, 1, 2, 0], jnp.int32)
-    idx, key, found = segmented_argmin(keys, segs, 4)
-    np.testing.assert_array_equal(np.asarray(found), [True, True, True, False])
-    np.testing.assert_array_equal(np.asarray(key)[:3], [3, 1, 7])
-    np.testing.assert_array_equal(np.asarray(idx)[:3], [1, 3, 4])
-
-
-def test_segmented_argmin_tie_stability():
-    keys = jnp.asarray([2, 2, 2], jnp.int32)
-    segs = jnp.asarray([0, 0, 0], jnp.int32)
-    idx, _, found = segmented_argmin(keys, segs, 1)
-    assert bool(found[0]) and int(idx[0]) == 0  # lowest original index wins
-
-
-def test_segmented_argmin_ignores_out_of_range():
-    keys = jnp.asarray([1, 0], jnp.int32)
-    segs = jnp.asarray([0, 5], jnp.int32)  # 5 >= num_segments
-    idx, key, found = segmented_argmin(keys, segs, 2)
-    assert bool(found[0]) and not bool(found[1])
 
 
 def _frame_with(n, conf):

@@ -40,8 +40,34 @@ def test_pallas_matches_xla_segment():
     th_r = np.asarray(res_ref.stats.theta)
     th_p = np.asarray(res_pal.stats.theta)
     both = np.isfinite(th_r[..., 2]) & np.isfinite(th_p[..., 2])
-    agree = lr == lp
     # compare plane fits only where the segmentations agree everywhere in
     # the cell's support: use a loose global check
     assert np.isfinite(th_p[..., 2]).mean() > 0.9
     assert np.nanmedian(np.abs(th_r[both] - th_p[both])) < 1e-3
+
+
+def test_pallas_compiled_on_tpu():
+    """Run the real Mosaic lowering (interpret=False) when a TPU is present.
+
+    The kernel relies on several Mosaic-specific workarounds (arithmetic
+    selects, matmul upsampling, no i1 vectors across fori_loop); interpret
+    mode does not exercise those, so this guards against lowering
+    regressions. Skipped on CPU CI."""
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs a TPU for the compiled Mosaic path")
+
+    H, W = 64, 128
+    rng = np.random.default_rng(1)
+    rgb = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    depth = np.full((H, W), 1.5, np.float32)
+    disp = depth_to_disp(jnp.asarray(depth))
+    cfg = TPSConfig(nb_iters=4)
+
+    res_int = tps_pallas.segment(jnp.asarray(rgb), disp, cfg, interpret=True)
+    res_tpu = tps_pallas.segment(jnp.asarray(rgb), disp, cfg, interpret=False)
+    li = np.asarray(res_int.labels)
+    lt = np.asarray(res_tpu.labels)
+    assert (li == lt).mean() > 0.97
+    assert float(jnp.sum(res_tpu.stats.size)) == H * W

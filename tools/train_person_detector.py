@@ -1,0 +1,260 @@
+"""Distill a person detector from the geometric+flow MOD pseudo-labels.
+
+The reference uses tiny-YOLOv4 person weights that its own repo does not ship
+(`/root/reference/.MISSING_LARGE_BLOBS`). This environment has no network
+egress, so no pretrained detector can be downloaded either. Instead the small
+CenterNet-style head (models/person_detector.py) is trained here by
+distillation: run the *simple* MOD path (geometric clustering + residual
+flow, no detector) over the dynamic TUM sequence, convert its per-frame
+dynamic-superpixel masks into bounding boxes (the only moving objects in
+fr3/walking_* are people), and fit heatmap + size heads to those boxes.
+
+Usage:
+  1) python tools/train_person_detector.py --collect \
+        --dataset .../rgbd_dataset_freiburg3_walking_halfsphere \
+        --out /tmp/mod_boxes.npz [--max-frames 400]
+  2) python tools/train_person_detector.py --train \
+        --data /tmp/mod_boxes.npz --out weights/person_detector.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def collect(args) -> int:
+    """Run simple-MOD over the sequence; save (gray, depth, boxes) triples."""
+    from supersurfel_fusion_tpu.config import (
+        CameraIntrinsics,
+        MODConfig,
+        PipelineConfig,
+    )
+    from supersurfel_fusion_tpu.io.tum import TUMDataset
+    from supersurfel_fusion_tpu.pipeline import SupersurfelFusionTPU
+
+    cfg = PipelineConfig(
+        cam=CameraIntrinsics.tum_fr3(), mod=MODConfig(enabled=True)
+    )
+    ds = TUMDataset(args.dataset)
+    n = min(args.max_frames, len(ds)) if args.max_frames else len(ds)
+    slam = SupersurfelFusionTPU(cfg)
+
+    gh, gw, cs = cfg.grid_h, cfg.grid_w, cfg.tps.cell_size
+    grays, depths, all_boxes = [], [], []
+    t0 = time.time()
+    for i in range(n):
+        f = ds.load_frame_raw(i)
+        out = slam.process(f.rgb, f.depth, f.timestamp)
+        if i < 2:  # MOD needs a previous frame
+            continue
+        static = np.asarray(out.static_sp).reshape(gh, gw)
+        dyn = ~static
+        if dyn.sum() < 4:  # no moving object this frame — keep as negative
+            boxes = np.zeros((0, 4), np.float32)
+        else:
+            boxes = _boxes_from_mask(dyn, cs)
+        gray = np.asarray(f.rgb[..., :3]).astype(np.float32).mean(-1)
+        grays.append(gray.astype(np.uint8))
+        depths.append(np.asarray(f.depth, np.uint16))
+        all_boxes.append(boxes)
+        if i % 50 == 0:
+            print(f"frame {i}/{n}  boxes={len(boxes)}  "
+                  f"({(i+1)/(time.time()-t0):.1f} fps)", flush=True)
+
+    # ragged boxes -> fixed (N, MAXB, 4) with count
+    maxb = max((len(b) for b in all_boxes), default=1) or 1
+    B = np.zeros((len(all_boxes), maxb, 4), np.float32)
+    C = np.zeros((len(all_boxes),), np.int32)
+    for i, b in enumerate(all_boxes):
+        B[i, :len(b)] = b
+        C[i] = len(b)
+    np.savez_compressed(args.out, gray=np.stack(grays),
+                        depth=np.stack(depths), boxes=B, counts=C)
+    print(f"saved {len(all_boxes)} frames, "
+          f"{int(C.sum())} boxes -> {args.out}")
+    return 0
+
+
+def _boxes_from_mask(dyn: np.ndarray, cs: int) -> np.ndarray:
+    """Connected components of the dynamic-cell mask -> pixel boxes."""
+    gh, gw = dyn.shape
+    lab = -np.ones((gh, gw), np.int32)
+    nlab = 0
+    for y in range(gh):
+        for x in range(gw):
+            if dyn[y, x] and lab[y, x] < 0:
+                stack = [(y, x)]
+                lab[y, x] = nlab
+                while stack:
+                    cy, cx = stack.pop()
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1),
+                                   (1, 1), (-1, -1), (1, -1), (-1, 1)):
+                        ny, nx = cy + dy, cx + dx
+                        if (0 <= ny < gh and 0 <= nx < gw and dyn[ny, nx]
+                                and lab[ny, nx] < 0):
+                            lab[ny, nx] = nlab
+                            stack.append((ny, nx))
+                nlab += 1
+    boxes = []
+    for l in range(nlab):
+        ys, xs = np.where(lab == l)
+        if len(ys) < 6:  # too small to be a person
+            continue
+        boxes.append([xs.min() * cs, ys.min() * cs,
+                      (xs.max() + 1) * cs, (ys.max() + 1) * cs])
+    return np.asarray(boxes, np.float32).reshape(-1, 4)
+
+
+def train(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from supersurfel_fusion_tpu.models.person_detector import (
+        _STAGES,
+        detect,
+        init_params,
+    )
+
+    data = np.load(args.data)
+    gray = data["gray"].astype(np.float32)          # (N, H, W)
+    depth = data["depth"].astype(np.float32) / 5000.0
+    boxes = data["boxes"]                            # (N, MAXB, 4)
+    counts = data["counts"]
+    N, H, W = gray.shape
+    stride = int(np.prod([s for _, s in _STAGES]))
+    hh, ww = H // stride, W // stride
+    print(f"{N} frames, heat {hh}x{ww}, stride {stride}")
+
+    # build targets: gaussian heatmaps + size maps
+    heat_t = np.zeros((N, hh, ww), np.float32)
+    size_t = np.zeros((N, hh, ww, 2), np.float32)
+    size_m = np.zeros((N, hh, ww), np.float32)
+    for i in range(N):
+        for b in range(counts[i]):
+            x0, y0, x1, y1 = boxes[i, b]
+            cx, cy = (x0 + x1) / 2 / stride, (y0 + y1) / 2 / stride
+            bw, bh = (x1 - x0) / stride, (y1 - y0) / stride
+            if bw <= 0 or bh <= 0:
+                continue
+            sigma = max(1.0, 0.15 * np.sqrt(bw * bh))
+            yy, xx = np.mgrid[0:hh, 0:ww]
+            g = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2)
+                         / (2 * sigma * sigma)))
+            heat_t[i] = np.maximum(heat_t[i], g)
+            ci, cj = int(np.clip(cy, 0, hh - 1)), int(np.clip(cx, 0, ww - 1))
+            size_t[i, ci, cj] = (bw, bh)
+            size_m[i, ci, cj] = 1.0
+
+    params = init_params()
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(params)
+
+    def forward_maps(params, g, d):
+        x = jnp.stack([g / 255.0, jnp.clip(d, 0, 5.0) / 5.0], axis=-1)
+        for i, (_, s) in enumerate(_STAGES):
+            x = jax.nn.relu(jax.lax.conv_general_dilated(
+                x, params[f"conv{i}_w"], (s, s), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + params[f"conv{i}_b"])
+        heat = jax.lax.conv_general_dilated(
+            x, params["heat_w"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0] \
+            + params["heat_b"][0]
+        size = jax.lax.conv_general_dilated(
+            x, params["size_w"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + params["size_b"]
+        return heat, size
+
+    def loss_fn(params, g, d, ht, st, sm):
+        logits, size = forward_maps(params, g, d)
+        p = jax.nn.sigmoid(logits)
+        # CenterNet focal loss (alpha=2, beta=4)
+        pos = (ht > 0.95).astype(jnp.float32)
+        l_pos = -pos * ((1 - p) ** 2) * jnp.log(jnp.clip(p, 1e-6))
+        l_neg = (-(1 - pos) * ((1 - ht) ** 4) * (p ** 2)
+                 * jnp.log(jnp.clip(1 - p, 1e-6)))
+        n_pos = jnp.maximum(pos.sum(), 1.0)
+        l_heat = (l_pos.sum() + l_neg.sum()) / n_pos
+        l_size = (jnp.abs(size - st).sum(-1) * sm).sum() / jnp.maximum(
+            sm.sum(), 1.0)
+        return l_heat + 0.1 * l_size
+
+    @jax.jit
+    def step(params, opt_state, g, d, ht, st, sm):
+        l, grads = jax.value_and_grad(loss_fn)(params, g, d, ht, st, sm)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    rng = np.random.default_rng(0)
+    bs = args.batch
+    for epoch in range(args.epochs):
+        order = rng.permutation(N)
+        losses = []
+        for k in range(0, N - bs + 1, bs):
+            idx = order[k:k + bs]
+            p_new, opt_state, l = step(
+                params, opt_state, jnp.asarray(gray[idx]),
+                jnp.asarray(depth[idx]), jnp.asarray(heat_t[idx]),
+                jnp.asarray(size_t[idx]), jnp.asarray(size_m[idx]))
+            params = p_new
+            losses.append(float(l))
+        print(f"epoch {epoch}: loss {np.mean(losses):.4f}", flush=True)
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    np.savez(args.out, **{k: np.asarray(v) for k, v in params.items()})
+    print(f"saved weights -> {args.out}")
+
+    # quick self-check: detection recall on the training set
+    hits = tot = 0
+    for i in range(0, N, max(N // 50, 1)):
+        det = detect({k: jnp.asarray(v) for k, v in params.items()},
+                     jnp.asarray(gray[i]), jnp.asarray(depth[i]))
+        db = np.asarray(det.boxes)[np.asarray(det.valid)]
+        for b in range(counts[i]):
+            tot += 1
+            x0, y0, x1, y1 = boxes[i, b]
+            for d0 in db:
+                ix = max(0, min(x1, d0[2]) - max(x0, d0[0]))
+                iy = max(0, min(y1, d0[3]) - max(y0, d0[1]))
+                inter = ix * iy
+                a = (x1 - x0) * (y1 - y0) + (d0[2] - d0[0]) * (d0[3] - d0[1])
+                if inter / max(a - inter, 1e-9) > 0.3:
+                    hits += 1
+                    break
+    print(f"train-set recall@IoU0.3: {hits}/{tot}")
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--collect", action="store_true")
+    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--dataset", default="/root/reference/rgbd_benchmark/"
+                    "rgbd_dataset_freiburg3_walking_halfsphere")
+    ap.add_argument("--data", default="/tmp/mod_boxes.npz")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    args = ap.parse_args()
+    if args.collect:
+        args.out = args.out or "/tmp/mod_boxes.npz"
+        return collect(args)
+    if args.train:
+        args.out = args.out or "weights/person_detector.npz"
+        return train(args)
+    print("specify --collect or --train")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
