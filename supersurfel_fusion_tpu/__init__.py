@@ -25,6 +25,12 @@ if _cache_dir and _cache_dir != "0":
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # Without this, the Pallas/Mosaic kernel payload embeds the full user
+        # call stack (including the entry script's path) in its serialized
+        # MLIR locations; strip-debuginfo cannot reach inside that payload, so
+        # the cache key changed with every differently-named driver script and
+        # the 5-minute pipeline compile was never reused.
+        _jax.config.update("jax_include_full_tracebacks_in_locations", False)
     except Exception:  # older jax without these flags
         pass
 

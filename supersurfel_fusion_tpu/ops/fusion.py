@@ -31,7 +31,9 @@ from supersurfel_fusion_tpu.utils.geometry import eigh3x3, inv3x3_sym, mult_ABAt
 
 Array = jax.Array
 
-_BIG = jnp.int32(2**30)
+# plain int, not jnp.int32: a module-level jnp scalar is a device-resident
+# constant that lowering must download through the (slow) remote-TPU tunnel
+_BIG = 2**30
 
 
 class MatchResult(NamedTuple):

@@ -42,7 +42,7 @@ from supersurfel_fusion_tpu.utils.geometry import eigh3x3, inv3x3_sym, mult_ABAt
 
 Array = jax.Array
 
-_BIG = jnp.int32(2**30)
+_BIG = 2**30  # plain int: module-level jnp scalars are device constants
 
 
 class DistributedModel(NamedTuple):

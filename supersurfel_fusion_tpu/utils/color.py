@@ -10,26 +10,31 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
-_XYZ_FROM_RGB = jnp.array(
+# numpy (not jnp) module constants: jnp arrays created at import time live on
+# the accelerator, so every jit LOWERING must download them to embed their
+# bytes — a multi-second blocking sync each through a remote-TPU tunnel.
+# numpy constants embed directly and hash deterministically.
+_XYZ_FROM_RGB = np.array(
     [
         [0.4124, 0.3575, 0.1805],
         [0.2126, 0.7152, 0.0722],
         [0.0193, 0.1192, 0.9505],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
-_RGB_FROM_XYZ = jnp.array(
+_RGB_FROM_XYZ = np.array(
     [
         [3.2406, -1.5372, -0.4986],
         [-0.9689, 1.8758, 0.0415],
         [0.0557, -0.2040, 1.0570],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
-_WHITE = jnp.array([0.95047, 1.0, 1.08883], dtype=jnp.float32)
+_WHITE = np.array([0.95047, 1.0, 1.08883], dtype=np.float32)
 
 
 def _srgb_to_linear(c: Array) -> Array:
