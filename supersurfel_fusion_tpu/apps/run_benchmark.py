@@ -47,6 +47,10 @@ def main(argv=None) -> int:
                          "(the reference node's image topics)")
     ap.add_argument("--dump-every", type=int, default=25)
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--stats", action="store_true",
+                    help="read tracking stats from the device DURING the run "
+                         "(slow on a remote TPU; the default prints them "
+                         "after the run instead)")
     args = ap.parse_args(argv)
 
     import jax
@@ -130,18 +134,29 @@ def main(argv=None) -> int:
     slam = SupersurfelFusionTPU(cfg)
     t_start = time.time()
     t_first = None
+    # Mid-run device reads are poison on a tunneled TPU: a single scalar
+    # download costs seconds (measured: the old per-50-frame stats print took
+    # a 790-frame run from ~130 to 5.7 fps — even reading 50-frame-STALE
+    # outputs). Default progress lines therefore touch no device data; the
+    # per-window tracking stats are buffered on-device and printed once at
+    # the end (one batched materialization), or live with --stats.
+    windows = []
     for i in range(n):
         f = get_frame(i)
         out = slam.process(f.rgb, f.depth, f.timestamp)
         if i == 0:
             out.pose.t.block_until_ready()
             t_first = time.time()
-        if not args.quiet and i % 50 == 0:
-            print(
-                f"frame {i}/{n} icp_valid={bool(out.icp_valid)} "
-                f"nb={int(out.nb_supersurfels)} vis={int(out.nb_visible)}",
-                flush=True,
-            )
+        if i % 50 == 0:
+            if not args.quiet:
+                print(f"frame {i}/{n}", flush=True)
+            windows.append((i, out))
+            if args.stats and not args.quiet:
+                print(
+                    f"  icp_valid={bool(out.icp_valid)} "
+                    f"nb={int(out.nb_supersurfels)} vis={int(out.nb_visible)}",
+                    flush=True,
+                )
         if args.dump_images and i % args.dump_every == 0:
             import numpy as _np
 
@@ -173,6 +188,18 @@ def main(argv=None) -> int:
     t_end = time.time()
     steady = n - 1 if n > 1 else 1
     fps = steady / max(t_end - t_first, 1e-9) if t_first else 0.0
+
+    if not args.quiet and not args.stats and windows:
+        # one batched materialization of the buffered per-window stats
+        import jax.numpy as _jnp
+
+        sv = np.asarray(_jnp.stack(
+            [_jnp.stack([w.icp_valid.astype(_jnp.int32), w.nb_supersurfels,
+                         w.nb_visible, w.vo_matches]) for _, w in windows]
+        ))
+        for (i, _), row in zip(windows, sv):
+            print(f"frame {i}: icp_valid={bool(row[0])} nb={row[1]} "
+                  f"vis={row[2]} vo_matches={row[3]}", flush=True)
 
     traj_path = args.out or os.path.join("/tmp", f"estimated_{name}.txt")
     write_trajectory(traj_path, slam.stamps, slam.trajectory)

@@ -52,6 +52,10 @@ class ICPResult(NamedTuple):
     valid: Array      # () bool
     inliers: Array    # () float — inlier count of the last iteration
     error: Array      # () float — sqrt(r / inliers) of the last iteration
+    # () int32 gate bitmask: 1=min_inliers ok, 2=cov gate ok, 4=translation
+    # gate ok, 8=ran >0 iterations. valid == (code == 15).
+    code: Array = None
+    cov_diag: Array = None  # (6,) pose covariance diagonal (gate input)
 
 
 def build_target_maps(frame: Supersurfels, labels: Array, plane_depth: Array,
@@ -148,6 +152,23 @@ def _build_system(src_pos: Array, src_normal: Array, src_lab: Array,
     return JtJ, Jtr, r, inliers
 
 
+def _precond_solve(JtJ: Array, Jtr: Array, damping: float = 1e-7):
+    """Jacobi-preconditioned 6x6 solve: S (S JtJ S) S^-1 x = S Jtr.
+
+    The raw JtJ mixes rotation rows (scale ~ inliers * |p|^2) with
+    translation rows (~ inliers), giving condition numbers that make a plain
+    float32 solve/inverse garbage — the reference sidesteps this by casting
+    to double (dense_registration.cu:329-395). Normalizing by diag^-1/2
+    brings the condition number to O(1), recovering double-quality results
+    in f32. Returns (x, S) so callers can form cov = S inv(A) S."""
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(JtJ), 1e-20, None))
+    S = 1.0 / d
+    A = JtJ * S[:, None] * S[None, :]
+    A = A + jnp.eye(6, dtype=JtJ.dtype) * damping
+    y = jnp.linalg.solve(A, Jtr * S)
+    return y * S, S, A
+
+
 def _apply_solution(Xp: Array):
     """x = (rot_axis, tran) -> T_iter = R(theta)*T(tran*cos)*R(theta)."""
     rot_axis = Xp[0:3]
@@ -165,11 +186,17 @@ def _apply_solution(Xp: Array):
 
 def symmetric_icp(model: Supersurfels, nb_visible: Array, target_maps: Array,
                   R_view: Array, t_view: Array, cam: CameraIntrinsics,
-                  cfg: ICPConfig) -> ICPResult:
+                  cfg: ICPConfig, axis_name: str | None = None) -> ICPResult:
     """Frame-to-model refinement. `model` is in world frame; (R_view, t_view)
     is the current world->camera estimate. Returns the relative camera-frame
     correction (R_rel, t_rel) to compose into the pose exactly as the
-    reference does (supersurfel_fusion.cu:313-318)."""
+    reference does (supersurfel_fusion.cu:313-318).
+
+    `axis_name`: when called inside `shard_map` with the model SoA sharded on
+    its capacity axis, pass the mesh axis name — each shard linearizes its
+    own block and the 6x6 normal equations are `psum`-reduced, so every
+    device runs the identical GN iteration (distributed-BA pattern,
+    SURVEY.md §2.3). `nb_visible` is then the shard-LOCAL visible count."""
     N = model.capacity
     ids = jnp.arange(N, dtype=jnp.int32)
     src_mask = (ids < nb_visible) & (model.confidences > 0.0)
@@ -179,10 +206,13 @@ def symmetric_icp(model: Supersurfels, nb_visible: Array, target_maps: Array,
     def system(R_inc, t_inc):
         R_c = R_inc @ R_view
         t_c = R_inc @ t_view + t_inc
-        return _build_system(
+        out = _build_system(
             model.positions, src_normal, src_lab, src_mask,
             target_maps, R_c, t_c, cam, cfg,
         )
+        if axis_name is not None:
+            out = jax.tree.map(lambda x: jax.lax.psum(x, axis_name), out)
+        return out
 
     def cond(state):
         it, _, _, prev_err, _, _, _, cont = state
@@ -193,9 +223,7 @@ def symmetric_icp(model: Supersurfels, nb_visible: Array, target_maps: Array,
         JtJ, Jtr, r, inl = system(R_inc, t_inc)
         err = jnp.sqrt(r / jnp.maximum(inl, 1.0))
         enough = inl >= cfg.min_inliers
-        Xp = jnp.linalg.solve(
-            JtJ + jnp.eye(6, dtype=jnp.float32) * 1e-9, Jtr
-        )
+        Xp, _, _ = _precond_solve(JtJ, Jtr)
         Xp = jnp.where(jnp.isfinite(Xp), Xp, 0.0)
         R_it, t_it = _apply_solution(Xp)
         R_new = jnp.where(enough, R_it @ R_inc, R_inc)
@@ -219,14 +247,26 @@ def symmetric_icp(model: Supersurfels, nb_visible: Array, target_maps: Array,
     )
 
     # validity gates: pose covariance diag + translation magnitude
-    # (dense_registration.cu:394-421)
-    cov = jnp.linalg.inv(JtJ + jnp.eye(6, dtype=jnp.float32) * 1e-12)
-    cov_ok = jnp.all(jnp.diagonal(cov) < cfg.cov_thresh) & jnp.all(
-        jnp.isfinite(cov)
+    # (dense_registration.cu:394-421). The covariance is computed through the
+    # same Jacobi preconditioning as the solve: cov = S inv(S JtJ S) S —
+    # inverting the raw JtJ in f32 produced garbage diagonals that failed
+    # the 0.05 gate on ~47% of fr1/xyz frames (measured), while the true
+    # values are ~2e-3.
+    _, S, A = _precond_solve(JtJ, jnp.zeros((6,), JtJ.dtype))
+    cov_diag = jnp.diagonal(jnp.linalg.inv(A)) * S * S
+    cov_ok = jnp.all(cov_diag < cfg.cov_thresh) & jnp.all(
+        jnp.isfinite(cov_diag)
     )
     t_ok = jnp.linalg.norm(t_inc) <= cfg.max_translation
     valid = enough & cov_ok & t_ok & (it > 0)
+    code = (
+        enough.astype(jnp.int32)
+        + 2 * cov_ok.astype(jnp.int32)
+        + 4 * t_ok.astype(jnp.int32)
+        + 8 * (it > 0).astype(jnp.int32)
+    )
 
     R_rel = R_inc.T
     t_rel = -(R_rel @ t_inc)
-    return ICPResult(R_rel=R_rel, t_rel=t_rel, valid=valid, inliers=inl, error=err)
+    return ICPResult(R_rel=R_rel, t_rel=t_rel, valid=valid, inliers=inl,
+                     error=err, code=code, cov_diag=cov_diag)

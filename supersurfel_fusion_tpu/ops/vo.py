@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from supersurfel_fusion_tpu.config import CameraIntrinsics, VOConfig
 from supersurfel_fusion_tpu.ops.features import Keypoints
+from supersurfel_fusion_tpu.ops.icp import _precond_solve
 from supersurfel_fusion_tpu.ops.matching import gms_filter, match_bruteforce
 from supersurfel_fusion_tpu.utils.geometry import (
     axis_angle_to_mat,
@@ -169,9 +170,10 @@ def pnp_solve(R0: Array, t0: Array, p3d: Array, uv: Array, ok: Array,
         def gn_step(carry2, _):
             R, t = carry2
             JtJ, Jtr, _ = _pnp_system(R, t, p3d, uv, active, cam, delta2)
-            dx = jnp.linalg.solve(
-                JtJ + jnp.eye(6, dtype=jnp.float32) * 1e-6, -Jtr
-            )
+            # Jacobi-preconditioned f32 solve (see ops/icp.py:_precond_solve)
+            # — the raw JtJ mixes px^2-scale blocks and is too ill-conditioned
+            # for a plain float32 solve (g2o solves in double).
+            dx, _, _ = _precond_solve(JtJ, -Jtr, damping=1e-6)
             dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
             # left-increment on the view transform: view' = exp(xi) . view
             dv_, dw = dx[:3], dx[3:]

@@ -68,9 +68,12 @@ def make_distributed_model(capacity: int, mesh: Mesh) -> DistributedModel:
     surfels = jax.tree.map(
         lambda x: put(x, P("map", *([None] * (x.ndim - 1)))), model
     )
-    zeros = put(jnp.zeros((d,), jnp.int32), P("map"))
-    return DistributedModel(surfels=surfels, nb_local=zeros,
-                            nb_visible_local=zeros)
+    # two distinct buffers: aliasing them breaks donation of the state
+    return DistributedModel(
+        surfels=surfels,
+        nb_local=put(jnp.zeros((d,), jnp.int32), P("map")),
+        nb_visible_local=put(jnp.zeros((d,), jnp.int32), P("map")),
+    )
 
 
 def make_sharded_update(mesh: Mesh, cam: CameraIntrinsics, cfg: FusionConfig,

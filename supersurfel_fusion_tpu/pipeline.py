@@ -60,6 +60,8 @@ class FrameOutput(NamedTuple):
     icp_valid: Array
     icp_inliers: Array
     icp_error: Array
+    icp_code: Array       # () int32 gate bitmask (ops/icp.py:ICPResult.code)
+    icp_cov: Array        # (6,) pose covariance diagonal
     nb_supersurfels: Array
     nb_visible: Array
     labels: Array         # (H, W) superpixel index image
@@ -233,6 +235,8 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
             valid=jnp.bool_(False),
             inliers=jnp.float32(0.0),
             error=jnp.float32(0.0),
+            code=jnp.int32(0),
+            cov_diag=jnp.zeros((6,), jnp.float32),
         )
 
     # 10-11. fern place recognition + global loop closure
@@ -358,6 +362,8 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
         icp_valid=icp.valid,
         icp_inliers=icp.inliers,
         icp_error=icp.error,
+        icp_code=icp.code,
+        icp_cov=icp.cov_diag,
         nb_supersurfels=model.nb_supersurfels,
         nb_visible=model.nb_visible,
         labels=tps.labels,

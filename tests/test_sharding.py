@@ -105,3 +105,96 @@ def test_sharded_insert_round_robin(rng):
     # three different shards took the three frames
     assert (counts > 0).sum() == 3, counts
     assert counts.sum() == 3 * F
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_distributed_ba_matches_single_device():
+    """Constraint-sharded deformation GN (psum-reduced normal equations) must
+    reproduce the single-device ops/deformation.py:optimise solution."""
+    from supersurfel_fusion_tpu.ops.deformation import (
+        bind_vertices,
+        build_graph,
+        optimise,
+    )
+    from supersurfel_fusion_tpu.parallel.ba import (
+        make_distributed_optimise,
+        shard_constraints,
+    )
+
+    n = 400
+    pos = np.zeros((n, 3), np.float32)
+    pos[:, 0] = np.linspace(0, 4, n)
+    stamps = np.arange(n, dtype=np.int32)
+    g = build_graph(jnp.asarray(pos), jnp.asarray(stamps),
+                    jnp.ones(n, bool), jnp.int32(n))
+
+    n_con = 32
+    src_idx = np.concatenate([np.arange(16), n - 16 + np.arange(16)])
+    src = pos[src_idx]
+    tgt = src.copy()
+    tgt[16:, 1] += 0.2
+    b = bind_vertices(g, jnp.asarray(src), jnp.asarray(stamps[src_idx]),
+                      jnp.ones(n_con, bool))
+    valid = jnp.ones(n_con, bool)
+
+    rot1, tr1, err1, cerr1 = optimise(
+        g, b, jnp.asarray(src), jnp.asarray(tgt), valid, n_iters=3
+    )
+
+    mesh = make_mesh(8)
+    run = make_distributed_optimise(mesh, n_iters=3)
+    b_s, src_s, tgt_s, valid_s = shard_constraints(
+        mesh, b, jnp.asarray(src), jnp.asarray(tgt), valid
+    )
+    rot8, tr8, err8, cerr8 = run(g, b_s, src_s, tgt_s, valid_s)
+
+    np.testing.assert_allclose(np.asarray(tr8), np.asarray(tr1),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rot8), np.asarray(rot1),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(float(cerr8), float(cerr1),
+                               rtol=1e-2, atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_full_pipeline_step():
+    """The FULL sharded frame step (TPS -> VO -> psum ICP -> pmin fusion)
+    runs on the 8-device mesh and tracks a synthetic static scene."""
+    from supersurfel_fusion_tpu.config import (
+        CameraIntrinsics,
+        PipelineConfig,
+        TPSConfig,
+        VOConfig,
+    )
+    from supersurfel_fusion_tpu.parallel.pipeline_sharded import (
+        init_sharded_state,
+        make_process_frame_sharded,
+    )
+
+    mesh = make_mesh(8)
+    cfg = PipelineConfig(
+        cam=CameraIntrinsics(fx=80.0, fy=80.0, cx=63.5, cy=47.5,
+                             width=128, height=96),
+        tps=TPSConfig(nb_iters=2, nb_samples=4, filter_iter=1,
+                      use_pallas=False),
+        fusion=FusionConfig(nb_supersurfels_max=256 * 8),
+        vo=VOConfig(nb_features=128, nb_levels=2, local_map_capacity=256),
+    )
+    step = make_process_frame_sharded(mesh, cfg)
+    state = init_sharded_state(cfg, mesh)
+
+    rng2 = np.random.default_rng(7)
+    # textured fronto-parallel scene with gentle depth variation
+    tex = rng2.uniform(40, 215, size=(96, 128, 3)).astype(np.float32)
+    yy, xx = np.mgrid[0:96, 0:128].astype(np.float32)
+    depth = (1.2 + 0.25 * np.sin(xx / 17.0) + 0.2 * np.cos(yy / 13.0)
+             ).astype(np.float32)
+
+    poses = []
+    for k in range(3):
+        state, pose, nb = step(state, jnp.asarray(tex), jnp.asarray(depth))
+        poses.append(jax.tree.map(np.asarray, pose))
+    assert int(nb) > 0
+    # static scene => pose must stay near identity
+    assert np.linalg.norm(poses[-1].t) < 0.05, poses[-1].t
+    assert np.allclose(poses[-1].R, np.eye(3), atol=0.05)

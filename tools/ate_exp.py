@@ -1,0 +1,108 @@
+"""Run a full-sequence ATE experiment with config overrides.
+
+Usage: python tools/ate_exp.py --frames 790 [--cov-thresh 0.1] [--tag x]
+Prints one line: tag, fps, icp_valid%, ATE.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="/root/reference/rgbd_benchmark/"
+                    "rgbd_dataset_freiburg1_xyz")
+    ap.add_argument("--frames", type=int, default=790)
+    ap.add_argument("--cov-thresh", type=float, default=None)
+    ap.add_argument("--max-dist", type=float, default=None)
+    ap.add_argument("--max-color", type=float, default=None)
+    ap.add_argument("--min-ndot", type=float, default=None)
+    ap.add_argument("--icp-iters", type=int, default=None)
+    ap.add_argument("--visible-cap", type=int, default=None)
+    ap.add_argument("--ref-tps", action="store_true",
+                    help="reference-cadence XLA TPS (no pallas, merge every "
+                         "phase)")
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--no-vo", action="store_true")
+    ap.add_argument("--no-icp", action="store_true")
+    ap.add_argument("--tag", default="exp")
+    ap.add_argument("--save", default=None, help="save trajectory here")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from supersurfel_fusion_tpu.config import CameraIntrinsics, PipelineConfig
+    from supersurfel_fusion_tpu.eval.trajectory import ate
+    from supersurfel_fusion_tpu.io.tum import TUMDataset
+    from supersurfel_fusion_tpu.pipeline import SupersurfelFusionTPU
+
+    cfg = PipelineConfig(cam=CameraIntrinsics.tum_fr1())
+    icp = cfg.icp
+    if args.cov_thresh is not None:
+        icp = dataclasses.replace(icp, cov_thresh=args.cov_thresh)
+    if args.max_dist is not None:
+        icp = dataclasses.replace(icp, max_dist=args.max_dist)
+    if args.max_color is not None:
+        icp = dataclasses.replace(icp, max_color_dist=args.max_color)
+    if args.min_ndot is not None:
+        icp = dataclasses.replace(icp, min_normal_dot=args.min_ndot)
+    if args.icp_iters is not None:
+        icp = dataclasses.replace(icp, nb_iters=args.icp_iters)
+    cfg = dataclasses.replace(cfg, icp=icp)
+    if args.ref_tps:
+        cfg = dataclasses.replace(
+            cfg, tps=dataclasses.replace(
+                cfg.tps, use_pallas=False, merge_every_phase=True))
+    if args.no_pallas:
+        cfg = dataclasses.replace(
+            cfg, tps=dataclasses.replace(cfg.tps, use_pallas=False))
+    if args.no_vo:
+        cfg = dataclasses.replace(cfg, enable_sparse_vo=False)
+    if args.no_icp:
+        cfg = dataclasses.replace(cfg, enable_icp=False)
+    if args.visible_cap is not None:
+        cfg = dataclasses.replace(
+            cfg, fusion=dataclasses.replace(
+                cfg.fusion, visible_cap=args.visible_cap))
+
+    ds = TUMDataset(args.dataset)
+    n = min(args.frames, len(ds))
+    slam = SupersurfelFusionTPU(cfg)
+    icp_flags = []
+    t0 = time.time()
+    for i in range(n):
+        f = ds.load_frame_raw(i)
+        out = slam.process(f.rgb, f.depth, f.timestamp)
+        icp_flags.append(out.icp_valid)
+    out.pose.t.block_until_ready()
+    dt = time.time() - t0
+
+    iv = np.asarray(jnp.stack(icp_flags))
+    est = {t: p for t, p in zip(slam.stamps, slam.trajectory)}
+    gt = {a.rgb_ts: a.gt for a in ds.associations[:n] if a.gt is not None}
+    r = ate(est, gt)
+    print(f"RESULT tag={args.tag} frames={n} wall={dt:.0f}s "
+          f"icp_valid={iv.mean()*100:.1f}% ate={r.rmse:.4f} "
+          f"mean={r.mean:.4f} max={r.max:.4f}", flush=True)
+    if args.save:
+        from supersurfel_fusion_tpu.io.tum import write_trajectory
+
+        write_trajectory(args.save, slam.stamps, slam.trajectory)
+
+
+if __name__ == "__main__":
+    main()
