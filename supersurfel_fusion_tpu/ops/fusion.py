@@ -213,7 +213,8 @@ def _insert(frame: Supersurfels, model: Supersurfels, match: MatchResult,
         confidences=scatter(model.confidences, frame.confidences),
     )
     n_inserted = jnp.sum(ok.astype(jnp.int32))
-    return new_model, nb_supersurfels + n_inserted
+    n_dropped = jnp.sum(insert.astype(jnp.int32)) - n_inserted
+    return new_model, nb_supersurfels + n_inserted, n_dropped
 
 
 def filter_and_compact(model: Supersurfels, nb_supersurfels: Array,
@@ -287,12 +288,21 @@ def filter_and_compact(model: Supersurfels, nb_supersurfels: Array,
     return model, nb_live, nb_vis
 
 
+class FusionStats(NamedTuple):
+    """Per-frame fusion telemetry (all () int32)."""
+
+    n_fused: Array     # frame surfels fused into a matched model surfel
+    n_inserted: Array  # frame surfels appended as new model surfels
+    n_removed: Array   # model surfels evicted (stale / free-space)
+    n_dropped: Array   # frame surfels NOT inserted: model at capacity
+
+
 def update_model(state: ModelState, frame: Supersurfels, labels: Array,
                  plane_depth: Array, R: Array, t: Array,
                  cam: CameraIntrinsics, cfg: FusionConfig,
-                 conf_thresh: float, stamp: Array) -> ModelState:
+                 conf_thresh: float, stamp: Array):
     """Full per-frame model maintenance, bootstrap included
-    (supersurfel_fusion.cu:350-483)."""
+    (supersurfel_fusion.cu:350-483). Returns (ModelState, FusionStats)."""
     model, nb, nbv = state.surfels, state.nb_supersurfels, state.nb_visible
     F = frame.capacity
 
@@ -310,17 +320,29 @@ def update_model(state: ModelState, frame: Supersurfels, labels: Array,
             dims=boot.dims.at[:F].set(frame.dims),
             confidences=boot.confidences.at[:F].set(frame.confidences),
         )
-        return ModelState(boot, jnp.int32(F), jnp.int32(F))
+        zero = jnp.int32(0)
+        return (ModelState(boot, jnp.int32(F), jnp.int32(F)),
+                FusionStats(zero, jnp.int32(F), zero, zero))
 
     def normal(_):
         vcap = min(cfg.visible_cap, model.capacity)
         vis_model = jax.tree.map(lambda a: a[:vcap], model)
         match = find_best_matches(vis_model, nbv, frame, labels, R, t, cam, cfg)
         fused = _fuse(frame, model, match, R, t, stamp)
-        inserted, nb_new = _insert(frame, fused, match, nb, R, t, stamp)
+        inserted, nb_new, n_dropped = _insert(
+            frame, fused, match, nb, R, t, stamp
+        )
         compacted, nb_live, nb_vis = filter_and_compact(
             inserted, nb_new, plane_depth, R, t, cam, cfg, conf_thresh, stamp
         )
-        return ModelState(compacted, nb_live, nb_vis)
+        stats = FusionStats(
+            n_fused=jnp.sum(
+                ((match.model_match >= 0) & match.matched).astype(jnp.int32)
+            ),
+            n_inserted=nb_new - nb,
+            n_removed=nb_new - nb_live,
+            n_dropped=n_dropped,
+        )
+        return ModelState(compacted, nb_live, nb_vis), stats
 
     return jax.lax.cond(nb > 0, normal, bootstrap, operand=None)

@@ -145,7 +145,7 @@ def make_sharded_update(mesh: Mesh, cam: CameraIntrinsics, cfg: FusionConfig,
 
         # --- 4. round-robin insertion: shard (stamp mod D) takes this frame
         do_insert = (stamp % d) == me
-        ins_model, nb_after = fusion_ops._insert(
+        ins_model, nb_after, _ = fusion_ops._insert(
             frame, model, match, nb_loc, R, t, stamp
         )
         model = jax.tree.map(

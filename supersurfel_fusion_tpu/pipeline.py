@@ -50,6 +50,11 @@ class SLAMState(NamedTuple):
     prev_fern_id: Array   # () int32
     last_lc_stamp: Array  # () int32
     lc_count: Array       # () int32 — accepted loop closures
+    # silent-cap telemetry (read once post-run; VERDICT r2 #10): peak visible
+    # count vs cfg.fusion.visible_cap, and total insertions dropped at the
+    # model capacity ceiling
+    vis_peak: Array = None       # () int32
+    dropped_total: Array = None  # () int32
     mod_params: Optional[dict] = None  # person-detector weights (use_yolo)
 
 
@@ -67,6 +72,9 @@ class FrameOutput(NamedTuple):
     labels: Array         # (H, W) superpixel index image
     plane_depth: Array    # (H, W) slanted-plane depth
     static_sp: Array      # (N_sp,) bool — False = detected as moving (MOD)
+    n_fused: Array        # () int32 — frame surfels fused this frame
+    n_inserted: Array     # () int32 — frame surfels inserted this frame
+    n_removed: Array      # () int32 — model surfels evicted this frame
 
 
 def init_state(cfg: PipelineConfig) -> SLAMState:
@@ -100,6 +108,8 @@ def init_state(cfg: PipelineConfig) -> SLAMState:
         prev_fern_id=jnp.int32(-1),
         last_lc_stamp=jnp.int32(-(10**6)),
         lc_count=jnp.int32(0),
+        vis_peak=jnp.int32(0),
+        dropped_total=jnp.int32(0),
     )
 
 
@@ -334,7 +344,7 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
         )
 
     # 13. model update / bootstrap
-    model = fusion_ops.update_model(
+    model, fusion_stats = fusion_ops.update_model(
         state.model._replace(surfels=model_surfels), frame, tps.labels,
         plane_depth, pose.R, pose.t, cam, cfg.fusion, cfg.conf_thresh,
         state.stamp,
@@ -353,7 +363,10 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
     new_state = SLAMState(
         model=model, pose=pose, stamp=state.stamp + 1, local_map=lmap,
         mod_prev=mod_prev, kf_store=kf_store, prev_fern_id=prev_fern_id,
-        last_lc_stamp=last_lc, lc_count=lc_count, mod_params=state.mod_params,
+        last_lc_stamp=last_lc, lc_count=lc_count,
+        vis_peak=jnp.maximum(state.vis_peak, model.nb_visible),
+        dropped_total=state.dropped_total + fusion_stats.n_dropped,
+        mod_params=state.mod_params,
     )
     out = FrameOutput(
         pose=pose,
@@ -369,6 +382,9 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
         labels=tps.labels,
         plane_depth=plane_depth,
         static_sp=is_static_sp,
+        n_fused=fusion_stats.n_fused,
+        n_inserted=fusion_stats.n_inserted,
+        n_removed=fusion_stats.n_removed,
     )
     return new_state, out
 

@@ -30,7 +30,7 @@ def test_insert_compaction():
     match = MatchResult(matched=matched, model_match=jnp.full((F,), -1, jnp.int32))
     R = jnp.eye(3)
     t = jnp.zeros(3)
-    new_model, nb = _insert(frame, model, match, jnp.int32(4), R, t, jnp.int32(0))
+    new_model, nb, _ = _insert(frame, model, match, jnp.int32(4), R, t, jnp.int32(0))
     # valid & unmatched: ids 0, 3, 5, 6 -> 4 inserts starting at slot 4
     assert int(nb) == 8
     got = np.asarray(new_model.confidences[:10])
@@ -45,10 +45,11 @@ def test_insert_respects_capacity():
     match = MatchResult(
         matched=jnp.zeros(F, bool), model_match=jnp.full((F,), -1, jnp.int32)
     )
-    new_model, nb = _insert(
+    new_model, nb, dropped = _insert(
         frame, model, match, jnp.int32(4), jnp.eye(3), jnp.zeros(3), jnp.int32(0)
     )
     assert int(nb) == 6  # only 2 fit
+    assert int(dropped) == 6
 
 
 def test_filter_and_compact_orders_states():

@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--min-ndot", type=float, default=None)
     ap.add_argument("--icp-iters", type=int, default=None)
     ap.add_argument("--visible-cap", type=int, default=None)
+    ap.add_argument("--rel-break", type=float, default=None,
+                    help="ICP rel_error_break (1.1 = never break early)")
+    ap.add_argument("--mod", action="store_true", help="enable simple MOD")
+    ap.add_argument("--delta-t", type=int, default=None)
+    ap.add_argument("--conf-scale", type=float, default=None)
     ap.add_argument("--ref-tps", action="store_true",
                     help="reference-cadence XLA TPS (no pallas, merge every "
                          "phase)")
@@ -62,7 +67,20 @@ def main():
         icp = dataclasses.replace(icp, min_normal_dot=args.min_ndot)
     if args.icp_iters is not None:
         icp = dataclasses.replace(icp, nb_iters=args.icp_iters)
+    if args.rel_break is not None:
+        icp = dataclasses.replace(icp, rel_error_break=args.rel_break)
     cfg = dataclasses.replace(cfg, icp=icp)
+    if args.mod:
+        from supersurfel_fusion_tpu.config import MODConfig
+
+        cfg = dataclasses.replace(cfg, mod=MODConfig(enabled=True))
+    if args.delta_t is not None:
+        cfg = dataclasses.replace(
+            cfg, fusion=dataclasses.replace(cfg.fusion, delta_t=args.delta_t))
+    if args.conf_scale is not None:
+        cfg = dataclasses.replace(
+            cfg, fusion=dataclasses.replace(
+                cfg.fusion, conf_thresh_scale=args.conf_scale))
     if args.ref_tps:
         cfg = dataclasses.replace(
             cfg, tps=dataclasses.replace(
@@ -82,22 +100,34 @@ def main():
     ds = TUMDataset(args.dataset)
     n = min(args.frames, len(ds))
     slam = SupersurfelFusionTPU(cfg)
-    icp_flags = []
+    tele = []
     t0 = time.time()
     for i in range(n):
         f = ds.load_frame_raw(i)
         out = slam.process(f.rgb, f.depth, f.timestamp)
-        icp_flags.append(out.icp_valid)
+        tele.append(jnp.stack([
+            out.icp_valid.astype(jnp.int32), out.nb_visible,
+            out.nb_supersurfels, out.n_fused, out.n_inserted, out.n_removed,
+        ]))
+        if i % 100 == 0:
+            print(f"frame {i}/{n} ({time.time()-t0:.0f}s)", flush=True)
     out.pose.t.block_until_ready()
     dt = time.time() - t0
 
-    iv = np.asarray(jnp.stack(icp_flags))
+    tv = np.asarray(jnp.stack(tele))
+    iv = tv[:, 0]
     est = {t: p for t, p in zip(slam.stamps, slam.trajectory)}
     gt = {a.rgb_ts: a.gt for a in ds.associations[:n] if a.gt is not None}
     r = ate(est, gt)
     print(f"RESULT tag={args.tag} frames={n} wall={dt:.0f}s "
           f"icp_valid={iv.mean()*100:.1f}% ate={r.rmse:.4f} "
           f"mean={r.mean:.4f} max={r.max:.4f}", flush=True)
+    print(f"  nb_visible max={tv[:, 1].max()} p50={np.median(tv[:, 1]):.0f} "
+          f"model_final={tv[-1, 2]} "
+          f"fused/frame p50={np.median(tv[1:, 3]):.0f} "
+          f"inserted/frame p50={np.median(tv[1:, 4]):.0f} "
+          f"removed/frame p50={np.median(tv[1:, 5]):.0f} "
+          f"inserted_total={tv[1:, 4].sum()}", flush=True)
     if args.save:
         from supersurfel_fusion_tpu.io.tum import write_trajectory
 

@@ -71,13 +71,22 @@ def main():
     cov_fail = (codes & 2) == 0
     if cov_fail.any():
         cf = covs[cov_fail]
+        # cov_ok also requires finiteness (ops/icp.py): report NaN/inf rows
+        # separately so percentiles stay informative
+        finite = np.isfinite(cf).all(axis=1)
+        if (~finite).any():
+            print(f"cov-gate failures with non-finite cov: {(~finite).sum()}")
+        cf = cf[finite]
+        cov_thresh = cfg.icp.cov_thresh
         names = ["wx", "wy", "wz", "tx", "ty", "tz"]
         print(f"cov-gate failures: {cov_fail.sum()} frames; "
               f"per-component p50/p90 of failing frames:")
         for j, nm in enumerate(names):
+            if not len(cf):
+                break
             print(f"  {nm}: p50={np.percentile(cf[:, j], 50):.4f} "
                   f"p90={np.percentile(cf[:, j], 90):.4f} "
-                  f"exceeds={np.mean(cf[:, j] >= 0.05)*100:.0f}%")
+                  f"exceeds={np.mean(cf[:, j] >= cov_thresh)*100:.0f}%")
         # overall cov distribution on valid frames for contrast
         cv = covs[valid]
         if len(cv):
