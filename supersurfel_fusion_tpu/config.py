@@ -91,6 +91,12 @@ class ICPConfig:
     max_translation: float = 0.2
     # early-exit when error stops improving (dense_registration.cu:388)
     rel_error_break: float = 0.9995
+    # Tikhonov anchor toward the VO initialization: each GN step solves
+    # (JtJ + lambda I) x = Jtr, so directions the scene geometry does not
+    # constrain (planar-scene tx/wz degeneracy) stay at the VO pose instead
+    # of being rejected outright by the covariance gate. 0 = reference
+    # behaviour (undamped solve + binary gate).
+    solve_damping: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -170,6 +176,10 @@ class MODConfig:
     max_person_boxes: int = 8
     convexity_thresh: float = 0.2     # motion_detection.cu:219-226
     cc_iters: int = 64                # label-propagation iterations
+    # adaptive flow-threshold base: 2.5 px on the simple path
+    # (motion_detection.cu:552), 4.0 px on the combined person path (:1055)
+    flow_thresh_simple: float = 2.5
+    flow_thresh_combined: float = 4.0
 
 
 @dataclass(frozen=True)

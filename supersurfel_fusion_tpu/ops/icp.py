@@ -152,7 +152,8 @@ def _build_system(src_pos: Array, src_normal: Array, src_lab: Array,
     return JtJ, Jtr, r, inliers
 
 
-def _precond_solve(JtJ: Array, Jtr: Array, damping: float = 1e-7):
+def _precond_solve(JtJ: Array, Jtr: Array, damping: float = 1e-7,
+                   abs_damping: float = 0.0):
     """Jacobi-preconditioned 6x6 solve: S (S JtJ S) S^-1 x = S Jtr.
 
     The raw JtJ mixes rotation rows (scale ~ inliers * |p|^2) with
@@ -160,11 +161,18 @@ def _precond_solve(JtJ: Array, Jtr: Array, damping: float = 1e-7):
     float32 solve/inverse garbage — the reference sidesteps this by casting
     to double (dense_registration.cu:329-395). Normalizing by diag^-1/2
     brings the condition number to O(1), recovering double-quality results
-    in f32. Returns (x, S) so callers can form cov = S inv(A) S."""
+    in f32. Returns (x, S) so callers can form cov = S inv(A) S.
+
+    `abs_damping`: Tikhonov term on the RAW (unnormalized) system,
+    (JtJ + lambda I) x = Jtr — shrinks the step along directions whose raw
+    curvature is below lambda (planar-scene degeneracies) while leaving
+    well-constrained directions untouched (ICPConfig.solve_damping)."""
     d = jnp.sqrt(jnp.clip(jnp.diagonal(JtJ), 1e-20, None))
     S = 1.0 / d
     A = JtJ * S[:, None] * S[None, :]
     A = A + jnp.eye(6, dtype=JtJ.dtype) * damping
+    if abs_damping:
+        A = A + jnp.diag(abs_damping * S * S)
     y = jnp.linalg.solve(A, Jtr * S)
     return y * S, S, A
 
@@ -223,7 +231,7 @@ def symmetric_icp(model: Supersurfels, nb_visible: Array, target_maps: Array,
         JtJ, Jtr, r, inl = system(R_inc, t_inc)
         err = jnp.sqrt(r / jnp.maximum(inl, 1.0))
         enough = inl >= cfg.min_inliers
-        Xp, _, _ = _precond_solve(JtJ, Jtr)
+        Xp, _, _ = _precond_solve(JtJ, Jtr, abs_damping=cfg.solve_damping)
         Xp = jnp.where(jnp.isfinite(Xp), Xp, 0.0)
         R_it, t_it = _apply_solution(Xp)
         R_new = jnp.where(enough, R_it @ R_inc, R_inc)

@@ -180,9 +180,31 @@ def detect_motion(
     conf_t = frame.confidences.reshape(gh, gw)
     root, gated = geometric_clusters(adj, pos_t, nrm_t, conf_t, gh, gw, cfg)
 
+    # ---- combined path: person boxes -> depth-guided flood fill FIRST, so
+    # person keypoints never enter the camera-motion estimation and person
+    # superpixels never dilute cluster flow statistics
+    # (detectMotionCombined order, motion_detection.cu:744-871)
+    combined = cfg.use_yolo and detector_params is not None
+    ui = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0, H - 1)
+    kp_sp = tps.labels[vi, ui]
+    if combined:
+        from supersurfel_fusion_tpu.models.person_detector import detect
+
+        det = detect(detector_params, rgb_gray, depth,
+                     max_det=cfg.max_person_boxes,
+                     score_thresh=cfg.person_score_thresh)
+        person = person_flood_fill(
+            det.boxes, det.valid, adj, tps.stats.centroid, pos_t, conf_t,
+            tps.labels, gh, gw, cs, depth_gate=cfg.person_depth_gate,
+        ).reshape(-1)
+    else:
+        person = jnp.zeros((n_sp,), dtype=bool)
+    kp_nonperson = kp.valid & ~person[kp_sp]
+
     # ---- camera-motion-compensated residual flow
     midx, dist, mok = match_bruteforce(prev.kp_desc, prev.kp_valid,
-                                       kp.desc, kp.valid)
+                                       kp.desc, kp_nonperson)
     mxy = kp.xy[midx]
     inl = gms_filter(prev.kp_xy, mxy, mok, float(W), float(H))
     a, b, tx, ty, H_ok = estimate_similarity_ransac(prev.kp_xy, mxy, inl)
@@ -208,12 +230,18 @@ def detect_motion(
     uv_mag = jnp.linalg.norm(uv_sp, axis=-1).reshape(-1)      # (N,)
 
     # ---- cluster membership + singleton fill-in
+    # combined path: clusters need > 2 members and person superpixels carry
+    # no label (their flow never enters the statistics;
+    # motion_detection.cu:949-976)
     root_f = root.reshape(-1)
     csize = jnp.zeros((n_sp,), jnp.int32).at[root_f].add(1)
-    in_cluster = csize[root_f] > 1
-    label = jnp.where(in_cluster, root_f, -1)
+    min_csize = 2 if combined else 1
+    in_cluster = csize[root_f] > min_csize
+    label = jnp.where(in_cluster & ~person, root_f, -1)
 
-    # fill-in 1: adopt the unanimous neighbour label
+    # fill-in 1: adopt the unanimous neighbour label (person superpixels are
+    # skipped in the combined path: "if(!isStatic[i]) continue")
+    person_t = person.reshape(gh, gw)
     label_t = label.reshape(gh, gw)
     any_n = jnp.zeros((gh, gw), bool)
     agree = jnp.ones((gh, gw), bool)
@@ -227,7 +255,7 @@ def detect_motion(
         ref_lab = jnp.where(first, lj, ref_lab)
         agree = agree & (~is_n | (lj == ref_lab) | first)
         any_n = any_n | is_n
-    fill1 = (label_t < 0) & any_n & agree & (ref_lab >= 0)
+    fill1 = (label_t < 0) & ~person_t & any_n & agree & (ref_lab >= 0)
     label_t = jnp.where(fill1, ref_lab, label_t)
 
     # fill-in 2: closest neighbour in Lab colour (dist < 20)
@@ -243,50 +271,27 @@ def detect_motion(
         cand = adj[..., k] & (lj >= 0) & jnp.isfinite(d) & (d < best_d)
         best_d = jnp.where(cand, d, best_d)
         best_l = jnp.where(cand, lj, best_l)
-    fill2 = (label_t < 0) & (best_l >= 0)
+    fill2 = (label_t < 0) & ~person_t & (best_l >= 0)
     label_t = jnp.where(fill2, best_l, label_t)
     label = label_t.reshape(-1)
 
-    # ---- cluster mean flow + threshold
+    # ---- cluster mean flow + threshold (flow base 2.5 simple / 4.0 combined,
+    # motion_detection.cu:552 vs :1055)
     lab_c = jnp.where(label >= 0, label, n_sp)
     cl_flow = jnp.zeros((n_sp + 1,), jnp.float32).at[lab_c].add(uv_mag)
     cl_cnt = jnp.zeros((n_sp + 1,), jnp.float32).at[lab_c].add(1.0)
     cl_mean = cl_flow / jnp.maximum(cl_cnt, 1.0)
 
-    flow_thresh = 2.5 + 0.5 * jnp.sqrt(tx * tx + ty * ty)
+    base = cfg.flow_thresh_combined if combined else cfg.flow_thresh_simple
+    flow_thresh = base + 0.5 * jnp.sqrt(tx * tx + ty * ty)
     dyn_cluster = cl_mean > flow_thresh                        # (N+1,)
-    dynamic = (label >= 0) & dyn_cluster[lab_c]
-
-    # ---- combined path: person boxes -> depth-guided flood fill ->
-    # cluster override (detectMotionCombined, motion_detection.cu:680-1121).
-    # A cluster touched by a person fill goes dynamic regardless of flow;
-    # the fill itself (box-shaped, depth-gated) is also marked directly.
-    if cfg.use_yolo and detector_params is not None:
-        from supersurfel_fusion_tpu.models.person_detector import detect
-
-        det = detect(detector_params, rgb_gray, depth,
-                     max_det=cfg.max_person_boxes,
-                     score_thresh=cfg.person_score_thresh)
-        person = person_flood_fill(
-            det.boxes, det.valid, adj, tps.stats.centroid, pos_t, conf_t,
-            tps.labels, gh, gw, cs, depth_gate=cfg.person_depth_gate,
-        ).reshape(-1)
-        person_cluster = (
-            jnp.zeros((n_sp + 1,), bool).at[lab_c].max(person)
-        )
-        dynamic = dynamic | person | ((label >= 0) & person_cluster[lab_c])
+    dynamic = ((label >= 0) & dyn_cluster[lab_c]) | person
 
     first_frame = ~prev.initialized | ~H_ok
     # person-driven dynamics apply even when flow compensation failed
-    if cfg.use_yolo and detector_params is not None:
-        is_static_sp = jnp.where(first_frame, ~person, ~dynamic)
-    else:
-        is_static_sp = jnp.where(first_frame, True, ~dynamic)
+    is_static_sp = jnp.where(first_frame, ~person, ~dynamic)
 
     # ---- static keypoints (dynamic ones dropped from VO + prev context)
-    ui = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0, W - 1)
-    vi = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0, H - 1)
-    kp_sp = tps.labels[vi, ui]
     static_kp = kp.valid & is_static_sp[kp_sp]
 
     new_prev = MODPrev(

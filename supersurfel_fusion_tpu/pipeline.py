@@ -182,9 +182,12 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
         gray = rgb_to_gray(rgb)
         kp = detect_and_describe(gray, cfg.vo)
         if cfg.mod.enabled:
+            # MOD consumes the SLANTED-PLANE depth: the reference's
+            # `filteredDepth` is overwritten by the plane render before MOD
+            # downloads it (supersurfel_fusion.cu:191, 204)
             is_static_sp, static_kp, mod_prev = motion_ops.detect_motion(
-                gray, fdepth, mod_prev, kp, frame, tps, cam, cfg.tps, cfg.mod,
-                detector_params=state.mod_params,
+                gray, plane_depth, mod_prev, kp, frame, tps, cam, cfg.tps,
+                cfg.mod, detector_params=state.mod_params,
             )
             # dynamic superpixels are excluded from fusion/ICP/VO
             # (confidence = -1, motion_detection.cu:570-575)
@@ -418,9 +421,11 @@ class SupersurfelFusionTPU:
     def trajectory(self) -> list:
         if not self._poses:
             return []
-        # one batched download instead of per-pose round-trips
-        Rs = np.asarray(jnp.stack([p.R for p in self._poses]), dtype=np.float64)
-        ts = np.asarray(jnp.stack([p.t for p in self._poses]), dtype=np.float64)
+        # one batched download instead of per-pose round-trips; device_get on
+        # the pytree list avoids compiling an N-operand stack graph (which
+        # costs minutes at N=790 on a remote TPU)
+        Rs = np.stack(jax.device_get([p.R for p in self._poses])).astype(np.float64)
+        ts = np.stack(jax.device_get([p.t for p in self._poses])).astype(np.float64)
         from supersurfel_fusion_tpu.eval.trajectory import mat_to_quat_np
 
         return [

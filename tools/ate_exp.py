@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--visible-cap", type=int, default=None)
     ap.add_argument("--rel-break", type=float, default=None,
                     help="ICP rel_error_break (1.1 = never break early)")
+    ap.add_argument("--damping", type=float, default=None,
+                    help="ICP solve_damping (Tikhonov anchor to VO pose)")
     ap.add_argument("--mod", action="store_true", help="enable simple MOD")
     ap.add_argument("--delta-t", type=int, default=None)
     ap.add_argument("--conf-scale", type=float, default=None)
@@ -69,6 +71,8 @@ def main():
         icp = dataclasses.replace(icp, nb_iters=args.icp_iters)
     if args.rel_break is not None:
         icp = dataclasses.replace(icp, rel_error_break=args.rel_break)
+    if args.damping is not None:
+        icp = dataclasses.replace(icp, solve_damping=args.damping)
     cfg = dataclasses.replace(cfg, icp=icp)
     if args.mod:
         from supersurfel_fusion_tpu.config import MODConfig
@@ -114,7 +118,9 @@ def main():
     out.pose.t.block_until_ready()
     dt = time.time() - t0
 
-    tv = np.asarray(jnp.stack(tele))
+    # device_get on the list: batched D2H without building (and compiling) a
+    # 790-operand stack graph (measured: the jnp.stack variant added ~4 min)
+    tv = np.stack(jax.device_get(tele))
     iv = tv[:, 0]
     est = {t: p for t, p in zip(slam.stamps, slam.trajectory)}
     gt = {a.rgb_ts: a.gt for a in ds.associations[:n] if a.gt is not None}
