@@ -94,9 +94,11 @@ class ICPConfig:
     # Tikhonov anchor toward the VO initialization: each GN step solves
     # (JtJ + lambda I) x = Jtr, so directions the scene geometry does not
     # constrain (planar-scene tx/wz degeneracy) stay at the VO pose instead
-    # of being rejected outright by the covariance gate. 0 = reference
-    # behaviour (undamped solve + binary gate).
-    solve_damping: float = 0.0
+    # of being rejected outright by the covariance gate; the gate covariance
+    # is the damped estimator's inv(JtJ + lambda I). 0 = reference behaviour
+    # (undamped solve + binary gate on inv(JtJ) — measured on fr1/xyz this
+    # rejects ~48% of frames and drifts to 0.0349 m vs 0.0195 m with 80).
+    solve_damping: float = 80.0
 
 
 @dataclass(frozen=True)
@@ -180,6 +182,17 @@ class MODConfig:
     # (motion_detection.cu:552), 4.0 px on the combined person path (:1055)
     flow_thresh_simple: float = 2.5
     flow_thresh_combined: float = 4.0
+    # Per-cluster DEPTH-residual cue: |warp(prev_depth) - surfel z| at the
+    # superpixel centroid, cluster-averaged, against a Kinect-noise-model
+    # threshold scale*(0.0012 + 0.0019 (z-0.4)^2). The reference computes
+    # exactly this but ships it disabled (motion_detection.cu:566-571, the
+    # commented `|| clusters_depth_diff > depth_thresh` at :571/:1057 with
+    # scales 12/20); we enable it because 2D residual flow alone misses
+    # slow/low-texture movers (measured fr3 w126: 0.170 m vs ref 0.054 m)
+    # while metre-scale depth residuals against the slanted-plane depth are
+    # unambiguous. Set 0 to disable (strict reference behaviour).
+    depth_cue_scale_simple: float = 12.0
+    depth_cue_scale_combined: float = 20.0
 
 
 @dataclass(frozen=True)

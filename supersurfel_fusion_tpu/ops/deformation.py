@@ -58,6 +58,31 @@ class VertexBinding(NamedTuple):
     weights: Array   # (V, N_NEIGH) float32 (sum 1)
 
 
+def _temporal_neighbours(n: Array) -> Array:
+    """Temporal neighbours: the 5-node window around i (shifted inside the
+    valid range at the borders) minus i itself — the reference's scheme
+    (deformation_graph.cu:112-168) vectorized."""
+    i = jnp.arange(NODE_CAP, dtype=jnp.int32)[:, None]
+    lo = jnp.clip(i - N_NEIGH // 2, 0, jnp.maximum(n - (N_NEIGH + 1), 0))
+    cand = lo + jnp.arange(N_NEIGH + 1, dtype=jnp.int32)[None, :]  # (N, 5)
+    is_self = (cand == i).astype(jnp.int32)
+    order = jnp.argsort(is_self, axis=1, stable=True)
+    nb = jnp.take_along_axis(cand, order[:, :N_NEIGH], axis=1)
+    return jnp.clip(nb, 0, jnp.maximum(n - 1, 0))
+
+
+def _finish_graph(pos: Array, st: Array, n: Array) -> DeformationGraph:
+    order = jnp.argsort(st)
+    return DeformationGraph(
+        positions=pos[order],
+        rotations=jnp.tile(jnp.eye(3, dtype=jnp.float32), (NODE_CAP, 1, 1)),
+        translations=jnp.zeros((NODE_CAP, 3), jnp.float32),
+        stamps=st[order],
+        neighbours=_temporal_neighbours(n),
+        n_nodes=n,
+    )
+
+
 def build_graph(positions: Array, stamps: Array, valid: Array,
                 nb_live: Array) -> DeformationGraph:
     """Sample up to NODE_CAP nodes uniformly over the live prefix of the
@@ -72,29 +97,32 @@ def build_graph(positions: Array, stamps: Array, valid: Array,
 
     pos = positions[idx]
     st = jnp.where(active, stamps[idx], jnp.int32(2**30))
-    order = jnp.argsort(st)
-    pos = pos[order]
-    st = st[order]
+    return _finish_graph(pos, st, n)
 
-    # temporal neighbours: the 5-node window around i (shifted inside the
-    # valid range at the borders) minus i itself — the reference's scheme
-    # (deformation_graph.cu:112-168) vectorized
-    i = jnp.arange(NODE_CAP, dtype=jnp.int32)[:, None]
-    lo = jnp.clip(i - N_NEIGH // 2, 0, jnp.maximum(n - (N_NEIGH + 1), 0))
-    cand = lo + jnp.arange(N_NEIGH + 1, dtype=jnp.int32)[None, :]  # (N, 5)
-    is_self = (cand == i).astype(jnp.int32)
-    order = jnp.argsort(is_self, axis=1, stable=True)
-    nb = jnp.take_along_axis(cand, order[:, :N_NEIGH], axis=1)
-    nb = jnp.clip(nb, 0, jnp.maximum(n - 1, 0))
 
-    return DeformationGraph(
-        positions=pos,
-        rotations=jnp.tile(jnp.eye(3, dtype=jnp.float32), (NODE_CAP, 1, 1)),
-        translations=jnp.zeros((NODE_CAP, 3), jnp.float32),
-        stamps=st,
-        neighbours=nb,
-        n_nodes=n,
-    )
+def build_graph_sharded(positions: Array, stamps: Array, nb_live_local: Array,
+                        axis_name: str) -> DeformationGraph:
+    """Distributed node sampling over a capacity-sharded model: each shard
+    strides NODE_CAP/D candidates from its LOCAL live prefix, one small
+    `all_gather` ((NODE_CAP, 3) positions + stamps, a few KB on ICI) makes
+    the graph identical on every device, and everything downstream
+    (optimise, bindings) runs replicated while `apply_to_model` stays
+    shard-local. SURVEY.md §2.3's distributed-BA pattern applied to the
+    ElasticFusion graph."""
+    D = jax.lax.axis_size(axis_name)
+    per = NODE_CAP // D
+    C = positions.shape[0]
+    k = jnp.arange(per, dtype=jnp.int32)
+    idx = jnp.clip((k * jnp.maximum(nb_live_local, 1)) // per, 0, C - 1)
+    n_loc = jnp.minimum(nb_live_local, per)
+    active = k < n_loc
+
+    pos_l = positions[idx]
+    st_l = jnp.where(active, stamps[idx], jnp.int32(2**30))
+    pos = jax.lax.all_gather(pos_l, axis_name).reshape(NODE_CAP, 3)
+    st = jax.lax.all_gather(st_l, axis_name).reshape(NODE_CAP)
+    n = jnp.maximum(jax.lax.psum(n_loc, axis_name), 1)
+    return _finish_graph(pos, st, n)
 
 
 def bind_vertices(graph: DeformationGraph, v_pos: Array, v_stamp: Array,

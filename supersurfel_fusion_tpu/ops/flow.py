@@ -139,6 +139,41 @@ def bilinear_sample(img: Array, xs: Array, ys: Array, fill: float = 0.0) -> Arra
     return jnp.where(ok, out, fill)
 
 
+def se3_depth_residual(depth_cur: Array, depth_prev: Array, R: Array,
+                       t: Array, fx: float, fy: float, cx: float, cy: float,
+                       z_min: float = 0.2, z_max: float = 4.0) -> Array:
+    """Per-pixel rigid-motion depth residual |sample(prev_depth, proj(X')) -
+    X'.z| with X' = R^T (backproject(u, v, depth_cur) - t).
+
+    (R, t) maps prev-camera points to current-camera points (the output of
+    `loop_closure.ransac_rigid_3d` on matched keypoint 3D pairs). For a
+    static scene the sampled previous depth equals the predicted depth
+    everywhere — including at depth discontinuities, which the 2D-affine
+    depth warp gets wrong by metres (parallax). Moving objects leave
+    metre-scale residuals at every pixel they newly cover or reveal.
+    Returns (H, W) residual, 0 where either depth is invalid/out of range.
+    """
+    H, W = depth_cur.shape
+    y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    z = depth_cur
+    X = jnp.stack([(x - cx) * z / fx, (y - cy) * z / fy, z], axis=-1)
+    Xp = (X - t) @ R                     # == R^T (X - t), row-vector form
+    zp = Xp[..., 2]
+    safe = jnp.where(jnp.abs(zp) > 1e-6, zp, 1e-6)
+    up = Xp[..., 0] * fx / safe + cx
+    vp = Xp[..., 1] * fy / safe + cy
+    zs = bilinear_sample(depth_prev, up, vp, 0.0)
+    # zs is deliberately NOT bounded above: a mover in front of a
+    # far (> z_max) background shows up exactly as zs >> zp
+    ok = (
+        (z >= z_min) & (z < z_max) & (zp >= z_min) & (zp < z_max)
+        & (zs >= z_min)
+        & (up >= 0) & (up <= W - 1) & (vp >= 0) & (vp <= H - 1)
+    )
+    return jnp.where(ok, jnp.abs(zs - zp), 0.0)
+
+
 # ---------------------------------------------------------------------------
 # Pyramidal Lucas-Kanade dense flow
 # ---------------------------------------------------------------------------

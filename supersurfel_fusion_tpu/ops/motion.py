@@ -49,8 +49,9 @@ class MODPrev(NamedTuple):
     """Previous-frame context carried in the SLAM state."""
 
     gray: Array        # (H, W)
-    depth: Array       # (H, W) filtered depth
+    depth: Array       # (H, W) bilateral-filtered depth
     kp_xy: Array       # (K, 2)
+    kp_p3d: Array      # (K, 3) camera-frame keypoint positions
     kp_desc: Array     # (K, 8) uint32
     kp_valid: Array    # (K,)
     initialized: Array  # () bool
@@ -202,6 +203,14 @@ def detect_motion(
         person = jnp.zeros((n_sp,), dtype=bool)
     kp_nonperson = kp.valid & ~person[kp_sp]
 
+    # current keypoint 3D from the slanted-plane depth (for the rigid fit)
+    zk = depth[vi, ui]
+    kp_z_ok = (zk >= 0.2) & (zk < 5.0)
+    kp_p3d = jnp.stack(
+        [zk * (kp.xy[:, 0] - cam.cx) / cam.fx,
+         zk * (kp.xy[:, 1] - cam.cy) / cam.fy, zk], axis=-1,
+    )
+
     # ---- camera-motion-compensated residual flow
     midx, dist, mok = match_bruteforce(prev.kp_desc, prev.kp_valid,
                                        kp.desc, kp_nonperson)
@@ -210,7 +219,6 @@ def detect_motion(
     a, b, tx, ty, H_ok = estimate_similarity_ransac(prev.kp_xy, mxy, inl)
 
     gray_est = warp_similarity(prev.gray, a, b, tx, ty, 0.0)
-    depth_est = warp_similarity(prev.depth, a, b, tx, ty, 0.0)
     flow = dense_flow(rgb_gray, gray_est)   # current -> warped prev (DIS order)
 
     # ---- per-superpixel mean residual flow (borders + magnitude gates as in
@@ -285,6 +293,51 @@ def detect_motion(
     base = cfg.flow_thresh_combined if combined else cfg.flow_thresh_simple
     flow_thresh = base + 0.5 * jnp.sqrt(tx * tx + ty * ty)
     dyn_cluster = cl_mean > flow_thresh                        # (N+1,)
+
+    # ---- cluster depth-residual cue. The reference computes a 2D-affine
+    # depth residual but ships it disabled (motion_detection.cu:538-571, the
+    # commented `|| clusters_depth_diff > depth_thresh`) — almost certainly
+    # because the affine warp produces metre-scale parallax artefacts at
+    # every depth discontinuity. We enable the cue with the residual done
+    # RIGHT: a full SE(3) inverse-warp against the previous slanted-plane
+    # depth (ops/flow.py:se3_depth_residual), with the rigid motion fitted by
+    # 3D-3D RANSAC over the matched keypoints. Static structure (including
+    # depth edges) cancels exactly; movers leave metre-scale residuals.
+    dscale = (cfg.depth_cue_scale_combined if combined
+              else cfg.depth_cue_scale_simple)
+    if dscale > 0:
+        from supersurfel_fusion_tpu.ops.flow import se3_depth_residual
+        from supersurfel_fusion_tpu.ops.loop_closure import ransac_rigid_3d
+
+        pair_ok = (
+            inl & kp_z_ok[midx] & prev.kp_valid
+            & (prev.kp_p3d[:, 2] >= 0.2) & (prev.kp_p3d[:, 2] < 5.0)
+        )
+        R_rig, t_rig, rigid_ok, _ = ransac_rigid_3d(
+            prev.kp_p3d, kp_p3d[midx], pair_ok, thresh=0.05,
+            min_inliers=15, min_ratio=0.15,
+        )
+        resid = se3_depth_residual(
+            depth, prev.depth, R_rig, t_rig,
+            cam.fx, cam.fy, cam.cx, cam.cy,
+        )
+        r_valid = (resid > 0.0).astype(jnp.float32)
+        rsums = cell_reduce(
+            jnp.stack([resid, r_valid], axis=-1), tps.labels, gh, gw, cs
+        )
+        sp_zdiff = (rsums[..., 0] / jnp.maximum(rsums[..., 1], 32.0)
+                    ).reshape(-1)
+        zsp = jnp.where(pos_t[..., 2] > 0, pos_t[..., 2], 0.0).reshape(-1)
+        cl_zdiff = jnp.zeros((n_sp + 1,), jnp.float32).at[lab_c].add(sp_zdiff)
+        cl_z = jnp.zeros((n_sp + 1,), jnp.float32).at[lab_c].add(zsp)
+        cl_zdiff = cl_zdiff / jnp.maximum(cl_cnt, 1.0)
+        cl_z = cl_z / jnp.maximum(cl_cnt, 1.0)
+        # Kinect noise model threshold (reference scale at :566/:1056)
+        depth_thresh = dscale * (0.0012 + 0.0019 * (cl_z - 0.4) ** 2)
+        dyn_cluster = dyn_cluster | (
+            rigid_ok & (cl_zdiff > depth_thresh)
+        )
+
     dynamic = ((label >= 0) & dyn_cluster[lab_c]) | person
 
     first_frame = ~prev.initialized | ~H_ok
@@ -298,6 +351,7 @@ def detect_motion(
         gray=rgb_gray,
         depth=depth,
         kp_xy=kp.xy,
+        kp_p3d=kp_p3d,
         kp_desc=kp.desc,
         kp_valid=static_kp,
         initialized=jnp.bool_(True),
@@ -310,6 +364,7 @@ def init_prev(h: int, w: int, k: int) -> MODPrev:
         gray=jnp.zeros((h, w), jnp.float32),
         depth=jnp.zeros((h, w), jnp.float32),
         kp_xy=jnp.zeros((k, 2), jnp.float32),
+        kp_p3d=jnp.zeros((k, 3), jnp.float32),
         kp_desc=jnp.zeros((k, 8), jnp.uint32),
         kp_valid=jnp.zeros((k,), bool),
         initialized=jnp.bool_(False),
@@ -351,10 +406,15 @@ def person_flood_fill(boxes: Array, boxes_valid: Array, adj: Array,
                       0, gh - 1)
         seed = jnp.zeros((gh, gw), dtype=bool).at[py, px].set(True)
         z_seed = positions[py, px, 2]
-        # depth-similar & inside the box
+        # depth-similar & inside the box. Superpixels with invalid geometry
+        # (conf <= 0: motion blur, non-planar cloth) are filled too — the
+        # reference's fill only depth-gates superpixels with nonzero
+        # confidence (motion_detection.cu:828-834), and people in motion are
+        # exactly where generation fails
         eligible = in_box & (
-            jnp.abs(positions[..., 2] - z_seed) < depth_gate
-        ) & (conf > 0.0)
+            (jnp.abs(positions[..., 2] - z_seed) < depth_gate)
+            | (conf <= 0.0)
+        )
 
         def prop(_, m):
             grown = m

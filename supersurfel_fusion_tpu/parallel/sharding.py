@@ -76,6 +76,88 @@ def make_distributed_model(capacity: int, mesh: Mesh) -> DistributedModel:
     )
 
 
+def local_model_update(model: Supersurfels, nb_loc, nb_vis, frame, labels,
+                       plane_depth, R, t, stamp, cam: CameraIntrinsics,
+                       cfg: FusionConfig, conf_thresh: float, d: int,
+                       axis_name: str = "map"):
+    """Shard-local model fusion/insert/filter/compaction (steps 1-5 of the
+    module docstring). Runs INSIDE shard_map; `model` is the local block,
+    `nb_loc`/`nb_vis` the local counts. Returns (model, nb_live, nb_vis)."""
+    me = jax.lax.axis_index(axis_name)
+    Cl = model.positions.shape[0]
+    F = frame.capacity
+    H, W = labels.shape
+
+    # --- 1. local match keys (findBestMatches over the local block)
+    ids = jnp.arange(Cl, dtype=jnp.int32)
+    live = (ids < nb_vis) & (model.confidences > 0.0)
+    Rv = R.T
+    tv = -(Rv @ t)
+    pm = model.positions @ Rv.T + tv
+    z = pm[:, 2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    u = jnp.round(pm[:, 0] * cam.fx / safe_z + cam.cx).astype(jnp.int32)
+    v = jnp.round(pm[:, 1] * cam.fy / safe_z + cam.cy).astype(jnp.int32)
+    proj_ok = (
+        live & (z > cfg.range_min) & (z < cfg.range_max)
+        & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    )
+    fid = labels[jnp.clip(v, 0, H - 1), jnp.clip(u, 0, W - 1)]
+    fid_m = jnp.where(proj_ok, fid, F)
+    matched_loc = jnp.zeros((F,), jnp.int32).at[fid_m].max(1, mode="drop")
+
+    fpos = (frame.positions @ R.T + t)[fid]
+    fnormal = (frame.orientations[:, 2, :] @ R.T)[fid]
+    flab = rgb_to_lab(frame.colors)[fid]
+    fconf = frame.confidences[fid]
+    mlab = rgb_to_lab(model.colors)
+    mnormal = model.orientations[:, 2, :]
+    dist = jnp.linalg.norm(model.positions - fpos, axis=-1)
+    gate = (
+        proj_ok & (fconf > 0.0)
+        & (jnp.linalg.norm(mlab - flab, axis=-1) < cfg.match_max_color_dist)
+        & (jnp.abs(jnp.sum(mnormal * fnormal, -1)) > cfg.match_min_normal_dot)
+        & (dist < cfg.match_max_dist)
+    )
+    gid = me * Cl + ids     # global id in the encoded key
+    dq = jnp.clip(jnp.round(dist / cfg.match_max_dist * 2048.0),
+                  0, 2047).astype(jnp.int32)
+    key = jnp.where(gate, (dq << 20) | gid, _BIG)
+    keys_loc = jnp.full((F,), _BIG, jnp.int32).at[
+        jnp.where(gate, fid, F)
+    ].min(key, mode="drop")
+
+    # --- 2. global combine (the only collectives in the hot path)
+    keys = jax.lax.pmin(keys_loc, axis_name)
+    matched = jax.lax.pmax(matched_loc, axis_name) > 0
+    best_gid = jnp.where(keys < _BIG, keys & ((1 << 20) - 1), -1)
+
+    # --- 3. fuse pairs owned by this shard
+    owned = (best_gid >= me * Cl) & (best_gid < (me + 1) * Cl)
+    mid_local = jnp.where(owned, best_gid - me * Cl, -1)
+    match = fusion_ops.MatchResult(matched=matched, model_match=mid_local)
+    model = fusion_ops._fuse(frame, model, match, R, t, stamp)
+
+    # --- 4. round-robin insertion: shard (stamp mod D) takes this frame
+    do_insert = (stamp % d) == me
+    ins_model, nb_after, _ = fusion_ops._insert(
+        frame, model, match, nb_loc, R, t, stamp
+    )
+    model = jax.tree.map(
+        lambda a, b: jnp.where(
+            jnp.reshape(do_insert, (1,) * a.ndim), a, b
+        ),
+        ins_model, model,
+    )
+    nb_loc = jnp.where(do_insert, nb_after, nb_loc)
+
+    # --- 5. local filter + stable compaction
+    model, nb_live, nb_vis_new = fusion_ops.filter_and_compact(
+        model, nb_loc, plane_depth, R, t, cam, cfg, conf_thresh, stamp
+    )
+    return model, nb_live, nb_vis_new
+
+
 def make_sharded_update(mesh: Mesh, cam: CameraIntrinsics, cfg: FusionConfig,
                         conf_thresh: float):
     """Build the jitted distributed model-update step."""
@@ -85,80 +167,10 @@ def make_sharded_update(mesh: Mesh, cam: CameraIntrinsics, cfg: FusionConfig,
                      nb_local, nb_vis_local, frame, labels, plane_depth,
                      R, t, stamp):
         """Runs per shard (leading dims are LOCAL)."""
-        me = jax.lax.axis_index("map")
-        Cl = pos.shape[0]
         model = Supersurfels(pos, col, stamps, ori, shp, dims, conf)
-        F = frame.capacity
-        H, W = labels.shape
-        nb_loc = nb_local[0]
-        nb_vis = nb_vis_local[0]
-
-        # --- 1. local match keys (findBestMatches over the local block)
-        ids = jnp.arange(Cl, dtype=jnp.int32)
-        live = (ids < nb_vis) & (model.confidences > 0.0)
-        Rv = R.T
-        tv = -(Rv @ t)
-        pm = model.positions @ Rv.T + tv
-        z = pm[:, 2]
-        safe_z = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
-        u = jnp.round(pm[:, 0] * cam.fx / safe_z + cam.cx).astype(jnp.int32)
-        v = jnp.round(pm[:, 1] * cam.fy / safe_z + cam.cy).astype(jnp.int32)
-        proj_ok = (
-            live & (z > cfg.range_min) & (z < cfg.range_max)
-            & (u >= 0) & (u < W) & (v >= 0) & (v < H)
-        )
-        fid = labels[jnp.clip(v, 0, H - 1), jnp.clip(u, 0, W - 1)]
-        fid_m = jnp.where(proj_ok, fid, F)
-        matched_loc = jnp.zeros((F,), jnp.int32).at[fid_m].max(1, mode="drop")
-
-        fpos = (frame.positions @ R.T + t)[fid]
-        fnormal = (frame.orientations[:, 2, :] @ R.T)[fid]
-        flab = rgb_to_lab(frame.colors)[fid]
-        fconf = frame.confidences[fid]
-        mlab = rgb_to_lab(model.colors)
-        mnormal = model.orientations[:, 2, :]
-        dist = jnp.linalg.norm(model.positions - fpos, axis=-1)
-        gate = (
-            proj_ok & (fconf > 0.0)
-            & (jnp.linalg.norm(mlab - flab, axis=-1) < cfg.match_max_color_dist)
-            & (jnp.abs(jnp.sum(mnormal * fnormal, -1)) > cfg.match_min_normal_dot)
-            & (dist < cfg.match_max_dist)
-        )
-        gid = me * Cl + ids     # global id in the encoded key
-        dq = jnp.clip(jnp.round(dist / cfg.match_max_dist * 2048.0),
-                      0, 2047).astype(jnp.int32)
-        key = jnp.where(gate, (dq << 20) | gid, _BIG)
-        keys_loc = jnp.full((F,), _BIG, jnp.int32).at[
-            jnp.where(gate, fid, F)
-        ].min(key, mode="drop")
-
-        # --- 2. global combine (the only collectives in the hot path)
-        keys = jax.lax.pmin(keys_loc, "map")
-        matched = jax.lax.pmax(matched_loc, "map") > 0
-        best_gid = jnp.where(keys < _BIG, keys & ((1 << 20) - 1), -1)
-
-        # --- 3. fuse pairs owned by this shard
-        owned = (best_gid >= me * Cl) & (best_gid < (me + 1) * Cl)
-        mid_local = jnp.where(owned, best_gid - me * Cl, -1)
-        match = fusion_ops.MatchResult(matched=matched, model_match=mid_local)
-        model = fusion_ops._fuse(frame, model, match, R, t, stamp)
-
-        # --- 4. round-robin insertion: shard (stamp mod D) takes this frame
-        do_insert = (stamp % d) == me
-        ins_model, nb_after, _ = fusion_ops._insert(
-            frame, model, match, nb_loc, R, t, stamp
-        )
-        model = jax.tree.map(
-            lambda a, b: jnp.where(
-                jnp.reshape(do_insert, (1,) * a.ndim), a, b
-            ),
-            ins_model, model,
-        )
-        nb_loc = jnp.where(do_insert, nb_after, nb_loc)
-
-        # --- 5. local filter + stable compaction
-        model, nb_live, nb_vis_new = fusion_ops.filter_and_compact(
-            model, nb_loc, plane_depth, R, t, cam, cfg, conf_thresh, stamp
+        model, nb_live, nb_vis_new = local_model_update(
+            model, nb_local[0], nb_vis_local[0], frame, labels, plane_depth,
+            R, t, stamp, cam, cfg, conf_thresh, d,
         )
         return (
             model.positions, model.colors, model.stamps, model.orientations,

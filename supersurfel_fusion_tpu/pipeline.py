@@ -182,11 +182,14 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
         gray = rgb_to_gray(rgb)
         kp = detect_and_describe(gray, cfg.vo)
         if cfg.mod.enabled:
-            # MOD consumes the SLANTED-PLANE depth: the reference's
-            # `filteredDepth` is overwritten by the plane render before MOD
-            # downloads it (supersurfel_fusion.cu:191, 204)
+            # MOD consumes the BILATERAL-filtered depth, not the slanted
+            # plane render (which the reference feeds it): keypoint 3D and
+            # the SE(3) depth residual need metric depth at corners, where
+            # the piecewise-planar render is off by the plane-quantization
+            # error (measured: the rigid fit NaNs on plane depth, 80-95%
+            # inlier ratio on fdepth)
             is_static_sp, static_kp, mod_prev = motion_ops.detect_motion(
-                gray, plane_depth, mod_prev, kp, frame, tps, cam, cfg.tps,
+                gray, fdepth, mod_prev, kp, frame, tps, cam, cfg.tps,
                 cfg.mod, detector_params=state.mod_params,
             )
             # dynamic superpixels are excluded from fusion/ICP/VO

@@ -4,7 +4,12 @@ environment)."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# TPU_TESTS=1 keeps the real TPU backend so @pytest.mark.tpu tests (Mosaic
+# compiled-mode regressions) can run: `TPU_TESTS=1 pytest -m tpu tests/`
+_USE_TPU = os.environ.get("TPU_TESTS", "") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,7 +20,8 @@ if "xla_force_host_platform_device_count" not in flags:
 # TPU backend registered; force the CPU backend for hermetic, parallel tests.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -198,3 +198,100 @@ def test_sharded_full_pipeline_step():
     # static scene => pose must stay near identity
     assert np.linalg.norm(poses[-1].t) < 0.05, poses[-1].t
     assert np.allclose(poses[-1].R, np.eye(3), atol=0.05)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_full_pipeline_step_mod_ferns_lc():
+    """Round-2 verdict #6: the sharded step must also cover MOD, ferns and
+    global loop closure (previously a NotImplementedError). Smoke-run 3
+    frames with all three enabled on the 8-device mesh."""
+    from supersurfel_fusion_tpu.config import (
+        FernsConfig,
+        MODConfig,
+        PipelineConfig,
+        TPSConfig,
+        VOConfig,
+    )
+    from supersurfel_fusion_tpu.parallel.pipeline_sharded import (
+        init_sharded_state,
+        make_process_frame_sharded,
+    )
+
+    mesh = make_mesh(8)
+    cfg = PipelineConfig(
+        cam=CameraIntrinsics(fx=80.0, fy=80.0, cx=63.5, cy=47.5,
+                             width=128, height=96),
+        tps=TPSConfig(nb_iters=2, nb_samples=4, filter_iter=1,
+                      use_pallas=False),
+        fusion=FusionConfig(nb_supersurfels_max=256 * 8),
+        vo=VOConfig(nb_features=128, nb_levels=2, local_map_capacity=256),
+        mod=MODConfig(enabled=True),
+        ferns=FernsConfig(enabled=True, max_keyframes=16, min_frame_gap=1),
+        enable_loop_closure=True,
+    )
+    step = make_process_frame_sharded(mesh, cfg)
+    state = init_sharded_state(cfg, mesh)
+
+    rng2 = np.random.default_rng(7)
+    tex = rng2.uniform(40, 215, size=(96, 128, 3)).astype(np.float32)
+    yy, xx = np.mgrid[0:96, 0:128].astype(np.float32)
+    depth = (1.2 + 0.25 * np.sin(xx / 17.0) + 0.2 * np.cos(yy / 13.0)
+             ).astype(np.float32)
+
+    for _ in range(3):
+        state, pose, nb = step(state, jnp.asarray(tex), jnp.asarray(depth))
+    pose_np = jax.tree.map(np.asarray, pose)
+    assert int(nb) > 0
+    assert np.all(np.isfinite(pose_np.t)) and np.all(np.isfinite(pose_np.R))
+    # frame 0 became a keyframe; the fern DB must reflect it on every shard
+    assert int(state.kf_store.db.count) >= 1
+    assert np.linalg.norm(pose_np.t) < 0.05
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_build_graph_sharded_matches_single_device():
+    """Distributed deformation-node sampling must produce a valid graph
+    covering the same model (same stamp range, full node budget) as the
+    single-device builder."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from supersurfel_fusion_tpu.ops import deformation as defo
+
+    mesh = make_mesh(8)
+    C = 1024
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(-1, 1, size=(C, 3)).astype(np.float32)
+    stamps = np.sort(rng.integers(0, 500, size=(C,)).astype(np.int32))
+
+    g1 = defo.build_graph(
+        jnp.asarray(pos), jnp.asarray(stamps), jnp.ones((C,), bool),
+        jnp.int32(C),
+    )
+
+    def local_build(p, s, nb):
+        g = defo.build_graph_sharded(p, s, nb[0], "map")
+        return g.positions, g.stamps, g.n_nodes[None]
+
+    shard_build = jax.shard_map(
+        local_build, mesh=mesh,
+        in_specs=(P("map", None), P("map"), P("map")),
+        out_specs=(P(), P(), P("map")),
+        check_vma=False,
+    )
+    posj = jax.device_put(jnp.asarray(pos),
+                          NamedSharding(mesh, P("map", None)))
+    stj = jax.device_put(jnp.asarray(stamps), NamedSharding(mesh, P("map")))
+    nbl = jax.device_put(jnp.full((8,), C // 8, jnp.int32),
+                         NamedSharding(mesh, P("map")))
+    gpos, gst, n_nodes = shard_build(posj, stj, nbl)
+
+    assert int(n_nodes[0]) == defo.NODE_CAP == int(g1.n_nodes)
+    # stamps sorted ascending, spanning the same range
+    gst_np = np.asarray(gst)
+    assert np.all(np.diff(gst_np[: defo.NODE_CAP]) >= 0)
+    assert abs(int(gst_np[0]) - int(np.asarray(g1.stamps)[0])) <= 500
+    # every node position must be an actual model position
+    d = np.linalg.norm(
+        np.asarray(gpos)[:, None, :] - pos[None, :, :], axis=-1
+    ).min(axis=1)
+    assert float(d.max()) < 1e-5

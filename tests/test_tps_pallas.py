@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from supersurfel_fusion_tpu.config import TPSConfig
 from supersurfel_fusion_tpu.ops import tps as tps_ref
@@ -46,15 +47,14 @@ def test_pallas_matches_xla_segment():
     assert np.nanmedian(np.abs(th_r[both] - th_p[both])) < 1e-3
 
 
+@pytest.mark.tpu
 def test_pallas_compiled_on_tpu():
     """Run the real Mosaic lowering (interpret=False) when a TPU is present.
 
     The kernel relies on several Mosaic-specific workarounds (arithmetic
     selects, matmul upsampling, no i1 vectors across fori_loop); interpret
     mode does not exercise those, so this guards against lowering
-    regressions. Skipped on CPU CI."""
-    import pytest
-
+    regressions. Run with `TPU_TESTS=1 pytest -m tpu`; skipped on CPU CI."""
     if jax.default_backend() != "tpu":
         pytest.skip("needs a TPU for the compiled Mosaic path")
 
@@ -71,3 +71,28 @@ def test_pallas_compiled_on_tpu():
     lt = np.asarray(res_tpu.labels)
     assert (li == lt).mean() > 0.97
     assert float(jnp.sum(res_tpu.stats.size)) == H * W
+
+
+@pytest.mark.tpu
+def test_pallas_real_frame_agreement_on_tpu(fr1_xyz_path):
+    """Mosaic vs XLA label agreement on a REAL 640x480 TUM frame
+    (round-2 verdict #8). Run with `TPU_TESTS=1 pytest -m tpu`."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs a TPU for the compiled Mosaic path")
+
+    from supersurfel_fusion_tpu.io.tum import TUMDataset
+    from supersurfel_fusion_tpu.ops.depth import bilateral_filter
+
+    ds = TUMDataset(fr1_xyz_path)
+    f = ds.load_frame(0)
+    cfg = TPSConfig()
+    fdepth = bilateral_filter(jnp.asarray(f.depth), 0.03, 4.5, 6)
+    disp = depth_to_disp(fdepth)
+    rgb = jnp.asarray(f.rgb, jnp.float32)
+
+    res_xla = tps_ref.segment(rgb, disp, cfg)
+    res_tpu = tps_pallas.segment(rgb, disp, cfg, interpret=False)
+    lx = np.asarray(res_xla.labels)
+    lt = np.asarray(res_tpu.labels)
+    assert (lx == lt).mean() > 0.95, (lx == lt).mean()
+    assert float(jnp.sum(res_tpu.stats.size)) == 640 * 480

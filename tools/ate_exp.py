@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--damping", type=float, default=None,
                     help="ICP solve_damping (Tikhonov anchor to VO pose)")
     ap.add_argument("--mod", action="store_true", help="enable simple MOD")
+    ap.add_argument("--yolo", action="store_true",
+                    help="combined MOD (needs weights/person_detector.npz)")
+    ap.add_argument("--cam", default="auto", choices=["auto", "fr1", "fr2", "fr3"])
+    ap.add_argument("--window", type=int, default=0,
+                    help="also report ATE over the first N poses")
     ap.add_argument("--delta-t", type=int, default=None)
     ap.add_argument("--conf-scale", type=float, default=None)
     ap.add_argument("--ref-tps", action="store_true",
@@ -57,7 +62,15 @@ def main():
     from supersurfel_fusion_tpu.io.tum import TUMDataset
     from supersurfel_fusion_tpu.pipeline import SupersurfelFusionTPU
 
-    cfg = PipelineConfig(cam=CameraIntrinsics.tum_fr1())
+    cam_key = args.cam
+    if cam_key == "auto":
+        cam_key = "fr1"
+        for k in ("freiburg1", "freiburg2", "freiburg3"):
+            if k in args.dataset:
+                cam_key = "fr" + k[-1]
+    cam = {"fr1": CameraIntrinsics.tum_fr1, "fr2": CameraIntrinsics.tum_fr2,
+           "fr3": CameraIntrinsics.tum_fr3}[cam_key]()
+    cfg = PipelineConfig(cam=cam)
     icp = cfg.icp
     if args.cov_thresh is not None:
         icp = dataclasses.replace(icp, cov_thresh=args.cov_thresh)
@@ -74,10 +87,17 @@ def main():
     if args.damping is not None:
         icp = dataclasses.replace(icp, solve_damping=args.damping)
     cfg = dataclasses.replace(cfg, icp=icp)
-    if args.mod:
+    if args.mod or args.yolo:
         from supersurfel_fusion_tpu.config import MODConfig
 
-        cfg = dataclasses.replace(cfg, mod=MODConfig(enabled=True))
+        wpath = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "weights", "person_detector.npz")
+        use_yolo = args.yolo and os.path.exists(wpath)
+        cfg = dataclasses.replace(cfg, mod=MODConfig(
+            enabled=True, use_yolo=use_yolo,
+            weights_path=wpath if use_yolo else ""))
+        if args.yolo and not use_yolo:
+            print(f"WARNING: --yolo but no weights at {wpath}", flush=True)
     if args.delta_t is not None:
         cfg = dataclasses.replace(
             cfg, fusion=dataclasses.replace(cfg.fusion, delta_t=args.delta_t))
@@ -125,9 +145,16 @@ def main():
     est = {t: p for t, p in zip(slam.stamps, slam.trajectory)}
     gt = {a.rgb_ts: a.gt for a in ds.associations[:n] if a.gt is not None}
     r = ate(est, gt)
+    wtxt = ""
+    if args.window and len(est) > args.window:
+        w_ts = sorted(est)[: args.window]
+        est_w = {t: est[t] for t in w_ts}
+        gt_w = {t: p for t, p in gt.items() if t <= w_ts[-1] + 0.02}
+        if len(gt_w) > 2:
+            wtxt = f" ate_w{args.window}={ate(est_w, gt_w).rmse:.4f}"
     print(f"RESULT tag={args.tag} frames={n} wall={dt:.0f}s "
           f"icp_valid={iv.mean()*100:.1f}% ate={r.rmse:.4f} "
-          f"mean={r.mean:.4f} max={r.max:.4f}", flush=True)
+          f"mean={r.mean:.4f} max={r.max:.4f}{wtxt}", flush=True)
     print(f"  nb_visible max={tv[:, 1].max()} p50={np.median(tv[:, 1]):.0f} "
           f"model_final={tv[-1, 2]} "
           f"fused/frame p50={np.median(tv[1:, 3]):.0f} "

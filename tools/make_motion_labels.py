@@ -50,9 +50,24 @@ def build_pair_fn(cfg_vo, H, W):
     from supersurfel_fusion_tpu.ops.flow import (
         dense_flow,
         estimate_similarity_ransac,
+        se3_depth_residual,
         warp_similarity,
     )
+    from supersurfel_fusion_tpu.ops.loop_closure import ransac_rigid_3d
     from supersurfel_fusion_tpu.ops.matching import gms_filter, match_bruteforce
+
+    fx = fy = 535.4  # fr3 intrinsics; labels only, precision uncritical
+    cx, cy = 320.1, 247.6
+
+    def kp3d(kp, depth):
+        ui = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0, W - 1)
+        vi = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0, H - 1)
+        z = depth[vi, ui]
+        ok = (z >= 0.2) & (z < 5.0)
+        return jnp.stack(
+            [z * (kp.xy[:, 0] - cx) / fx, z * (kp.xy[:, 1] - cy) / fy, z],
+            axis=-1,
+        ), ok
 
     @jax.jit
     def pair_evidence(gray0, depth0_u16, gray1, depth1_u16):
@@ -68,18 +83,22 @@ def build_pair_fn(cfg_vo, H, W):
         inl = gms_filter(kp0.xy, mxy, mok, float(W), float(H))
         a, b, tx, ty, ok = estimate_similarity_ransac(kp0.xy, mxy, inl)
         gray_est = warp_similarity(gray0, a, b, tx, ty, 0.0)
-        depth_est = warp_similarity(depth0, a, b, tx, ty, 0.0)
         flow = dense_flow(gray1, gray_est)
         flow_mag = jnp.linalg.norm(flow, axis=-1)
 
+        # SE3 inverse-warp depth residual (parallax-free, unlike the 2D
+        # affine warp which fires on every depth edge)
+        p0, ok0 = kp3d(kp0, depth0)
+        p1, ok1 = kp3d(kp1, depth1)
+        pair_ok = inl & ok0 & ok1[midx]
+        R, t, rigid_ok, _ = ransac_rigid_3d(p0, p1[midx], pair_ok,
+                                            thresh=0.03)
+        resid = se3_depth_residual(depth1, depth0, R, t, fx, fy, cx, cy)
+
         z = depth1
-        zr = jnp.abs(depth_est - z)
-        z_valid = (
-            (z >= 0.2) & (z < 4.0) & (depth_est >= 0.2) & (depth_est < 4.0)
-        )
-        # Kinect depth noise model, scaled like the reference's cluster gate
+        z_valid = (z >= 0.2) & (z < 4.0)
         noise = 12.0 * (0.0012 + 0.0019 * (z - 0.4) ** 2)
-        depth_ev = z_valid & (zr > jnp.maximum(4.0 * noise, 0.08))
+        depth_ev = rigid_ok & (resid > jnp.maximum(4.0 * noise, 0.08))
         flow_ev = z_valid & (flow_mag > 4.0) & (flow_mag <= 60.0)
         return (depth_ev | flow_ev) & ok
 
