@@ -99,8 +99,14 @@ def build_pair_fn(cfg_vo, H, W):
         z_valid = (z >= 0.2) & (z < 4.0)
         noise = 12.0 * (0.0012 + 0.0019 * (z - 0.4) ** 2)
         depth_ev = rigid_ok & (resid > jnp.maximum(4.0 * noise, 0.08))
+        # flow evidence is label-poisoning: residual flow fires on parallax
+        # at depth edges during fast sweeps (measured: monitor/desk false
+        # boxes) — the SE(3) depth residual alone is precise, and frames
+        # where the rigid fit fails simply contribute no boxes
         flow_ev = z_valid & (flow_mag > 4.0) & (flow_mag <= 60.0)
-        return (depth_ev | flow_ev) & ok
+        use_flow = bool(int(os.environ.get("LABELS_USE_FLOW", "0")))
+        ev = depth_ev | flow_ev if use_flow else depth_ev
+        return ev & ok
 
     return pair_evidence
 
