@@ -97,8 +97,10 @@ def build_pair_fn(cfg_vo, H, W):
 
         z = depth1
         z_valid = (z >= 0.2) & (z < 4.0)
+        # 12x Kinect noise model (the reference's gate scale) — at 2.5 m
+        # this is ~0.11 m; people vs background leave metre-scale residuals
         noise = 12.0 * (0.0012 + 0.0019 * (z - 0.4) ** 2)
-        depth_ev = rigid_ok & (resid > jnp.maximum(4.0 * noise, 0.08))
+        depth_ev = rigid_ok & (resid > jnp.maximum(noise, 0.08))
         # flow evidence is label-poisoning: residual flow fires on parallax
         # at depth edges during fast sweeps (measured: monitor/desk false
         # boxes) — the SE(3) depth residual alone is precise, and frames
@@ -111,7 +113,7 @@ def build_pair_fn(cfg_vo, H, W):
     return pair_evidence
 
 
-def boxes_from_cells(dyn: np.ndarray, cs: int, min_cells: int = 8):
+def boxes_from_cells(dyn: np.ndarray, cs: int, min_cells: int = 5):
     """Connected components of the dynamic-cell mask -> pixel boxes."""
     gh, gw = dyn.shape
     lab = -np.ones((gh, gw), np.int32)
@@ -138,7 +140,7 @@ def boxes_from_cells(dyn: np.ndarray, cs: int, min_cells: int = 8):
             continue
         h_cells = ys.max() - ys.min() + 1
         w_cells = xs.max() - xs.min() + 1
-        if h_cells < 3 or w_cells < 2:  # people are tall-ish blobs
+        if h_cells < 2 or w_cells < 2:  # people are blob-shaped
             continue
         boxes.append([xs.min() * cs, ys.min() * cs,
                       (xs.max() + 1) * cs, (ys.max() + 1) * cs])
@@ -153,7 +155,7 @@ def main() -> int:
     ap.add_argument("--stride", type=int, default=1)
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--vote", type=int, default=2, help="of last 3 pairs")
-    ap.add_argument("--cell-frac", type=float, default=0.4)
+    ap.add_argument("--cell-frac", type=float, default=0.15)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
