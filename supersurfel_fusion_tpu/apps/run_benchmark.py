@@ -143,6 +143,7 @@ def main(argv=None) -> int:
     # per-window tracking stats are buffered on-device and printed once at
     # the end (one batched materialization), or live with --stats.
     windows = []
+    import jax.numpy as _jnp
     for i in range(n):
         f = get_frame(i)
         out = slam.process(f.rgb, f.depth, f.timestamp)
@@ -152,7 +153,15 @@ def main(argv=None) -> int:
         if i % 50 == 0:
             if not args.quiet:
                 print(f"frame {i}/{n}", flush=True)
-            windows.append((i, out))
+            # fuse the window stats into ONE small device buffer: retaining
+            # the whole FrameOutput (17 arrays incl. two HxW images) per
+            # window grows the live-buffer count, which inflates dispatch
+            # cost on remote backends (same failure mode as the old
+            # per-frame pose retention, see pipeline.py:process)
+            windows.append((i, _jnp.stack([
+                out.icp_valid.astype(_jnp.int32), out.nb_supersurfels,
+                out.nb_visible, out.vo_matches,
+            ])))
             if args.stats and not args.quiet:
                 print(
                     f"  icp_valid={bool(out.icp_valid)} "
@@ -193,12 +202,7 @@ def main(argv=None) -> int:
 
     if not args.quiet and not args.stats and windows:
         # one batched materialization of the buffered per-window stats
-        import jax.numpy as _jnp
-
-        sv = np.asarray(_jnp.stack(
-            [_jnp.stack([w.icp_valid.astype(_jnp.int32), w.nb_supersurfels,
-                         w.nb_visible, w.vo_matches]) for _, w in windows]
-        ))
+        sv = np.asarray(_jnp.stack([w for _, w in windows]))
         for (i, _), row in zip(windows, sv):
             print(f"frame {i}: icp_valid={bool(row[0])} nb={row[1]} "
                   f"vis={row[2]} vo_matches={row[3]}", flush=True)

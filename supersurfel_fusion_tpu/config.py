@@ -221,6 +221,14 @@ class PipelineConfig:
     enable_loop_closure: bool = False
     enable_sparse_vo: bool = True
     enable_icp: bool = True
+    # trajectory ring capacity: per-frame poses are written into ONE
+    # preallocated (max_frames, 12) device buffer inside the donated state
+    # and materialized once post-run. Retaining a separate device buffer per
+    # frame instead makes per-dispatch cost grow with the live-buffer count
+    # on remote backends (measured fr3+MOD: 36.7 -> 9.6 fps over 300 frames
+    # retained vs ~64 fps steady with this buffer). The reference streams
+    # poses to disk per frame (rgbd_benchmark_node.cpp:727-729).
+    max_frames: int = 2048
     depth_scale: float = 1.0 / 5000.0  # TUM 16-bit PNG -> metres
     # bilateral depth prefilter (reference uses sigma_value=0.03,
     # sigma_space=4.5, supersurfel_fusion.cu:180)

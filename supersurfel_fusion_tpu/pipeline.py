@@ -56,6 +56,10 @@ class SLAMState(NamedTuple):
     vis_peak: Array = None       # () int32
     dropped_total: Array = None  # () int32
     mod_params: Optional[dict] = None  # person-detector weights (use_yolo)
+    # (max_frames, 12) float32 — per-frame pose [R.flat(9) | t(3)] written at
+    # index `stamp` each step; lives inside the donated state so the host
+    # never accumulates per-frame device buffers (see PipelineConfig.max_frames)
+    traj: Array = None
 
 
 class FrameOutput(NamedTuple):
@@ -110,6 +114,7 @@ def init_state(cfg: PipelineConfig) -> SLAMState:
         lc_count=jnp.int32(0),
         vis_peak=jnp.int32(0),
         dropped_total=jnp.int32(0),
+        traj=jnp.zeros((cfg.max_frames, 12), jnp.float32),
     )
 
 
@@ -366,6 +371,15 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
 
         kf_store = jax.lax.cond(is_new, add_kf, lambda ks: ks, kf_store)
 
+    # record this frame's pose in the on-device trajectory ring (clamped at
+    # capacity: frames past max_frames overwrite the last slot — the runner
+    # warns when that happens)
+    traj_row = jnp.concatenate([pose.R.reshape(9), pose.t]).astype(jnp.float32)
+    traj = jax.lax.dynamic_update_slice(
+        state.traj, traj_row[None, :],
+        (jnp.minimum(state.stamp, cfg.max_frames - 1), 0),
+    )
+
     new_state = SLAMState(
         model=model, pose=pose, stamp=state.stamp + 1, local_map=lmap,
         mod_prev=mod_prev, kf_store=kf_store, prev_fern_id=prev_fern_id,
@@ -373,6 +387,7 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
         vis_peak=jnp.maximum(state.vis_peak, model.nb_visible),
         dropped_total=state.dropped_total + fusion_stats.n_dropped,
         mod_params=state.mod_params,
+        traj=traj,
     )
     out = FrameOutput(
         pose=pose,
@@ -403,8 +418,8 @@ class SupersurfelFusionTPU:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
         self.state = init_state(cfg)
-        self._poses: list[Pose] = []     # device-resident; converted lazily
         self.stamps: list[float] = []
+        self._cap_warned = False
 
     def process(self, rgb: np.ndarray, depth: np.ndarray,
                 timestamp: Optional[float] = None) -> FrameOutput:
@@ -414,26 +429,40 @@ class SupersurfelFusionTPU:
         self.state, out = process_frame(self.state, rgb_j, depth_j, self.cfg)
         if timestamp is not None:
             self.stamps.append(timestamp)
-            # keep the pose on-device: a per-frame download would force a
-            # full pipeline sync every frame (27 ms round-trip on a remote
-            # TPU); the trajectory is materialized once at the end
-            self._poses.append(out.pose)
+            # the pose itself stays on-device, written into state.traj at
+            # `stamp` by process_frame. Retaining per-frame device buffers
+            # here instead makes dispatch cost grow with the live-buffer
+            # count on remote backends (measured: fr3+MOD 36.7 -> 9.6 fps
+            # over 300 frames vs ~64 steady) — so the host keeps only the
+            # float timestamp.
+            if (len(self.stamps) > self.cfg.max_frames
+                    and not self._cap_warned):
+                self._cap_warned = True
+                import warnings
+
+                warnings.warn(
+                    f"frame count exceeded PipelineConfig.max_frames="
+                    f"{self.cfg.max_frames}; trajectory poses past the cap "
+                    "overwrite the last slot", stacklevel=2,
+                )
         return out
 
     @property
     def trajectory(self) -> list:
-        if not self._poses:
+        if not self.stamps:
             return []
-        # one batched download instead of per-pose round-trips; device_get on
-        # the pytree list avoids compiling an N-operand stack graph (which
-        # costs minutes at N=790 on a remote TPU)
-        Rs = np.stack(jax.device_get([p.R for p in self._poses])).astype(np.float64)
-        ts = np.stack(jax.device_get([p.t for p in self._poses])).astype(np.float64)
+        # ONE download of the preallocated on-device pose ring
+        n = min(len(self.stamps), self.cfg.max_frames)
+        traj = np.asarray(jax.device_get(self.state.traj))[:n].astype(np.float64)
         from supersurfel_fusion_tpu.eval.trajectory import mat_to_quat_np
 
-        return [
-            np.concatenate([t, mat_to_quat_np(R)]) for R, t in zip(Rs, ts)
+        rows = [
+            np.concatenate([row[9:12], mat_to_quat_np(row[:9].reshape(3, 3))])
+            for row in traj
         ]
+        # past-capacity frames all map to the final slot (clamped write)
+        rows += [rows[-1]] * (len(self.stamps) - n)
+        return rows
 
     @staticmethod
     def pose_tum(pose: Pose) -> np.ndarray:

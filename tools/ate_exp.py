@@ -124,7 +124,11 @@ def main():
     ds = TUMDataset(args.dataset)
     n = min(args.frames, len(ds))
     slam = SupersurfelFusionTPU(cfg)
-    tele = []
+    # telemetry: coalesce per-frame rows into one device buffer per 128
+    # frames — keeping one live buffer PER FRAME makes dispatch cost grow
+    # with the live-buffer count on this backend (measured in pipeline.py:
+    # 36.7 -> 9.6 fps over 300 frames), and mid-run downloads are worse
+    tele, tele_blocks = [], []
     t0 = time.time()
     for i in range(n):
         f = ds.load_frame_raw(i)
@@ -133,14 +137,17 @@ def main():
             out.icp_valid.astype(jnp.int32), out.nb_visible,
             out.nb_supersurfels, out.n_fused, out.n_inserted, out.n_removed,
         ]))
+        if len(tele) >= 128:
+            tele_blocks.append(jnp.stack(tele))
+            tele = []
         if i % 100 == 0:
             print(f"frame {i}/{n} ({time.time()-t0:.0f}s)", flush=True)
     out.pose.t.block_until_ready()
     dt = time.time() - t0
 
-    # device_get on the list: batched D2H without building (and compiling) a
-    # 790-operand stack graph (measured: the jnp.stack variant added ~4 min)
-    tv = np.stack(jax.device_get(tele))
+    if tele:
+        tele_blocks.append(jnp.stack(tele))
+    tv = np.concatenate(jax.device_get(tele_blocks))
     iv = tv[:, 0]
     est = {t: p for t, p in zip(slam.stamps, slam.trajectory)}
     gt = {a.rgb_ts: a.gt for a in ds.associations[:n] if a.gt is not None}
