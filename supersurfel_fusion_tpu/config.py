@@ -99,6 +99,10 @@ class ICPConfig:
     # (undamped solve + binary gate on inv(JtJ) — measured on fr1/xyz this
     # rejects ~48% of frames and drifts to 0.0349 m vs 0.0195 m with 80).
     solve_damping: float = 80.0
+    # Huber IRLS weight scale (metres) on the point-to-plane residual;
+    # 0 = binary weights (reference behaviour). Slow movers inside the hard
+    # gates get weight huber_delta/|r| instead of 1 (ops/icp.py:_build_system)
+    huber_delta: float = 0.0
 
 
 @dataclass(frozen=True)

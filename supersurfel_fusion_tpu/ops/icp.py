@@ -129,13 +129,27 @@ def _build_system(src_pos: Array, src_normal: Array, src_lab: Array,
         & (dist < cfg.max_dist)
         & (ndot > cfg.min_normal_dot)
     )
-    w = ok.astype(jnp.float32)[:, None]
 
     d = pt - ps
     c1 = jnp.cross(pt, ns)
     c2 = jnp.cross(ps, nt)
     dn1 = jnp.sum(d * ns, axis=-1, keepdims=True)
     dn2 = jnp.sum(d * nt, axis=-1, keepdims=True)
+
+    w_f = ok.astype(jnp.float32)
+    if cfg.huber_delta > 0:
+        # Huber IRLS weight on the point-to-plane residual: slow movers that
+        # slip through the hard gates (a walking person moves ~3 cm/frame,
+        # inside max_dist=0.1 m) are strongly down-weighted instead of voting
+        # at full strength; re-evaluated every GN iteration, so true inliers
+        # recover their weight as the alignment converges. The reference uses
+        # binary gates only (dense_registration_kernels.cuh:232-234) —
+        # 0 disables for strict parity.
+        r_abs = jnp.abs(dn2[:, 0])
+        w_f = w_f * jnp.minimum(
+            1.0, cfg.huber_delta / jnp.maximum(r_abs, 1e-9)
+        )
+    w = w_f[:, None]
 
     x1 = jnp.concatenate([c1, ns], axis=-1) * w                # (N, 6)
     x2 = jnp.concatenate([c2, nt], axis=-1) * w
@@ -148,7 +162,9 @@ def _build_system(src_pos: Array, src_normal: Array, src_lab: Array,
         "ni,n->i", x2, dn2[:, 0] * w[:, 0]
     )
     r = jnp.sum((dn2[:, 0] ** 2) * w[:, 0])
-    inliers = jnp.sum(w)
+    # gate/count semantics stay binary (the robust weight only shapes the
+    # normal equations)
+    inliers = jnp.sum(ok.astype(jnp.float32))
     return JtJ, Jtr, r, inliers
 
 

@@ -176,6 +176,8 @@ def close_global_loop(
     cam: CameraIntrinsics,
     icp_cfg: ICPConfig,
     axis_name: str | None = None,
+    payload=None,
+    kf_gids: Array | None = None,
 ) -> LoopClosureResult:
     """The full loop-closure branch (fixed shape, jittable).
 
@@ -183,15 +185,40 @@ def close_global_loop(
     capacity-sharded block and `nb_supersurfels` the LOCAL live count, the
     deformation-graph nodes are sampled distributedly (one small all_gather,
     ops/deformation.py:build_graph_sharded); the relocalization/ICP/optimise
-    stages are replicated math and `apply_to_model` stays shard-local."""
+    stages are replicated math and `apply_to_model` stays shard-local.
+
+    `payload`: when the keyframe store is itself sharded
+    (parallel/kf_sharded.py), `store` holds only this shard's LOCAL rows and
+    `store[best_id]` is meaningless — the caller instead psum-broadcasts the
+    winning keyframe's payload (`get_payload_sharded`) and passes it here;
+    `kf_gids` then gives each local row's GLOBAL keyframe id (row*D + me) so
+    the pose-graph update masks against the global count correctly."""
     F = frame.capacity
 
-    kf_desc = store.kp_desc[best_id]
-    kf_valid = store.kp_valid[best_id]
-    kf_xy = store.kp_xy[best_id]
-    kf_p3d = store.kp_p3d[best_id]
-    kf_pose = Pose(store.db.poses_R[best_id], store.db.poses_t[best_id])
-    kf_stamp = store.db.stamps[best_id]
+    if payload is None:
+        kf_desc = store.kp_desc[best_id]
+        kf_valid = store.kp_valid[best_id]
+        kf_xy = store.kp_xy[best_id]
+        kf_p3d = store.kp_p3d[best_id]
+        kf_pose = Pose(store.db.poses_R[best_id], store.db.poses_t[best_id])
+        kf_stamp = store.db.stamps[best_id]
+        kf_sf_pos = store.sf_pos[best_id]
+        kf_sf_color = store.sf_color[best_id]
+        kf_sf_normal = store.sf_normal[best_id]
+        kf_sf_valid = store.sf_valid[best_id]
+    else:
+        kf_desc = payload.kp_desc
+        kf_valid = payload.kp_valid
+        kf_xy = payload.kp_xy
+        kf_p3d = payload.kp_p3d
+        kf_pose = Pose(payload.pose_R, payload.pose_t)
+        kf_stamp = payload.stamp
+        kf_sf_pos = payload.sf_pos
+        kf_sf_color = payload.sf_color
+        kf_sf_normal = payload.sf_normal
+        kf_sf_valid = payload.sf_valid
+    if kf_gids is None:
+        kf_gids = jnp.arange(store.db.poses_t.shape[0], dtype=jnp.int32)
 
     # 1. kf -> current matching
     midx, dist, mok = match_bruteforce(kf_desc, kf_valid, kp.desc,
@@ -207,14 +234,12 @@ def close_global_loop(
 
     # 3. dense ICP: kf surfels (kf camera frame) against current frame
     kf_sf = Supersurfels.empty(F)._replace(
-        positions=store.sf_pos[best_id],
-        colors=store.sf_color[best_id],
-        confidences=jnp.where(store.sf_valid[best_id], 1.0, -1.0),
+        positions=kf_sf_pos,
+        colors=kf_sf_color,
+        confidences=jnp.where(kf_sf_valid, 1.0, -1.0),
     )
     kf_sf = kf_sf._replace(
-        orientations=kf_sf.orientations.at[:, 2, :].set(
-            store.sf_normal[best_id]
-        )
+        orientations=kf_sf.orientations.at[:, 2, :].set(kf_sf_normal)
     )
     align_cfg = ICPConfig(
         nb_iters=icp_cfg.nb_iters, cov_thresh=1e9,  # align has no cov gate
@@ -284,10 +309,11 @@ def close_global_loop(
         model, graph.positions, rot, trans, vbind, live & accepted
     )
 
-    # keyframe poses (applyGraphToPoses, look_back=10)
+    # keyframe poses (applyGraphToPoses, look_back=10); in sharded mode the
+    # store rows are shard-local and kf_gids maps them to global ids
     kf_bind = defo.bind_vertices(
         graph, store.db.poses_t, store.db.stamps,
-        jnp.arange(store.db.poses_t.shape[0]) < store.db.count,
+        kf_gids < store.db.count,
         look_back=10,
     )
     g = graph.positions[kf_bind.nodes]
@@ -303,9 +329,7 @@ def close_global_loop(
     new_R = orthonormalize(
         jnp.einsum("vij,vjk->vik", blend_R, store.db.poses_R)
     )
-    apply_kf = accepted & (
-        jnp.arange(store.db.poses_t.shape[0]) < store.db.count
-    )
+    apply_kf = accepted & (kf_gids < store.db.count)
     kf_R = jnp.where(apply_kf[:, None, None], new_R, store.db.poses_R)
     kf_t = jnp.where(apply_kf[:, None], new_t, store.db.poses_t)
 

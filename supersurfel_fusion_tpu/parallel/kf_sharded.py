@@ -103,6 +103,20 @@ def add_keyframe_sharded(store_local: KeyframeStore, count: Array,
     return new, jnp.where(ok, count + 1, count)
 
 
+def get_stamp_sharded(stamps_local: Array, best_id: Array,
+                      axis_name: str) -> Array:
+    """Replicate keyframe `best_id`'s stamp from its owner shard (one scalar
+    psum) — the loop-closure gate needs it every frame."""
+    d = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    rows = stamps_local.shape[0]
+    owner = (best_id % d) == me
+    row = jnp.clip(best_id // d, 0, rows - 1)
+    return jax.lax.psum(
+        jnp.where(owner, stamps_local[row], 0), axis_name
+    )
+
+
 class KeyframePayload(NamedTuple):
     """One keyframe's loop-closure payload, replicated after the psum."""
 

@@ -51,6 +51,7 @@ from supersurfel_fusion_tpu.ops import vo as vo_ops
 from supersurfel_fusion_tpu.ops.depth import bilateral_filter, depth_to_disp
 from supersurfel_fusion_tpu.ops.features import detect_and_describe
 from supersurfel_fusion_tpu.ops.supersurfels import generate_supersurfels
+from supersurfel_fusion_tpu.parallel import kf_sharded as kf_sh
 from supersurfel_fusion_tpu.parallel.sharding import (
     DistributedModel,
     local_model_update,
@@ -66,12 +67,16 @@ AXIS = "map"
 
 class ShardedSLAMState(NamedTuple):
     model: DistributedModel     # sharded P("map", ...)
+    # kf_store: per-keyframe rows sharded round-robin over the mesh
+    # (parallel/kf_sharded.py: global keyframe k -> shard k%D, local row
+    # k//D); only db.count is replicated. ~1.5 MB/keyframe stays distributed
+    # instead of being replicated on every device.
+    kf_store: lc_ops.KeyframeStore
     # everything below is replicated P()
     pose: Pose
     stamp: Array                # () int32
     local_map: vo_ops.LocalMap
     mod_prev: motion_ops.MODPrev
-    kf_store: lc_ops.KeyframeStore
     prev_fern_id: Array         # () int32
     last_lc_stamp: Array        # () int32
     lc_count: Array             # () int32
@@ -89,22 +94,34 @@ def init_sharded_state(cfg: PipelineConfig, mesh: Mesh) -> ShardedSLAMState:
     model = make_distributed_model(cfg.fusion.nb_supersurfels_max, mesh)
     rep = NamedSharding(mesh, P())
     kp_cap = _kp_cap(cfg)
+    d = mesh.devices.size
+    assert cfg.ferns.max_keyframes % d == 0, \
+        "max_keyframes must divide the mesh size (round-robin kf sharding)"
 
     def rput(x):
         return jax.device_put(x, rep)
 
+    kf_global = lc_ops.KeyframeStore.empty(
+        cfg.ferns.max_keyframes, cfg.ferns.nb_ferns, kp_cap,
+        cfg.nb_superpixels,
+    )
+    # keyframe rows sharded over the mesh; the () count replicated
+    kf_store = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, _mspec(x.ndim) if x.ndim else P())
+        ),
+        kf_global,
+    )
+
     return ShardedSLAMState(
         model=model,
+        kf_store=kf_store,
         pose=rput(Pose.identity()),
         stamp=rput(jnp.int32(0)),
         local_map=rput(vo_ops.LocalMap.empty(cfg.vo.local_map_capacity)),
         mod_prev=rput(
             motion_ops.init_prev(cfg.cam.height, cfg.cam.width, kp_cap)
         ),
-        kf_store=rput(lc_ops.KeyframeStore.empty(
-            cfg.ferns.max_keyframes, cfg.ferns.nb_ferns, kp_cap,
-            cfg.nb_superpixels,
-        )),
         prev_fern_id=rput(jnp.int32(-1)),
         last_lc_stamp=rput(jnp.int32(-(10**6))),
         lc_count=rput(jnp.int32(0)),
@@ -212,7 +229,14 @@ def make_process_frame_sharded(mesh: Mesh, cfg: PipelineConfig,
             )
 
         # --- ferns place recognition + global loop closure (steps 10-11)
+        # the keyframe store is round-robin sharded (parallel/kf_sharded.py):
+        # the fern compare is shard-local, ONE encoded pmin picks the global
+        # winner, and only on loop-closure frames is the winning keyframe's
+        # ~1.5 MB payload psum-broadcast from its owner shard
         if use_ferns:
+            me = jax.lax.axis_index(AXIS)
+            kf_rows = kf_store.db.codes.shape[0]
+            kf_gids = jnp.arange(kf_rows, dtype=jnp.int32) * d + me
             fern_pos, fern_rgb, fern_depth = ferns_ops.make_fern_table(
                 cfg.ferns, cam.width, cam.height, cfg.fusion.range_max
             )
@@ -220,8 +244,9 @@ def make_process_frame_sharded(mesh: Mesh, cfg: PipelineConfig,
                 rgb, fdepth, fern_pos, fern_rgb, fern_depth,
                 cfg.ferns.pyramid_level,
             )
-            best_id, _, is_new = ferns_ops.query(
-                kf_store.db, codes, cfg.ferns.new_frame_thresh
+            best_id, _, is_new = kf_sh.query_sharded(
+                kf_store.db.codes, kf_store.db.count, codes,
+                cfg.ferns.new_frame_thresh, AXIS,
             )
             ui = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32),
                           0, cam.width - 1)
@@ -238,9 +263,9 @@ def make_process_frame_sharded(mesh: Mesh, cfg: PipelineConfig,
 
             if cfg.enable_loop_closure:
                 gap = cfg.ferns.min_frame_gap
-                kf_stamp_best = kf_store.db.stamps[
-                    jnp.clip(best_id, 0, kf_store.db.stamps.shape[0] - 1)
-                ]
+                kf_stamp_best = kf_sh.get_stamp_sharded(
+                    kf_store.db.stamps, best_id, AXIS
+                )
                 lc_gate = (
                     ~is_new
                     & (kf_store.db.count > 0)
@@ -250,17 +275,23 @@ def make_process_frame_sharded(mesh: Mesh, cfg: PipelineConfig,
                 )
 
                 def run_lc(_):
+                    payload = kf_sh.get_payload_sharded(
+                        kf_store, best_id, AXIS
+                    )
                     return lc_ops.close_global_loop(
                         kf_store, best_id, surfels, nb_loc, frame, kp,
                         kp_p3d, kp_depth_ok, target_maps, pose, stamp, cam,
-                        cfg.icp, axis_name=AXIS,
+                        cfg.icp, axis_name=AXIS, payload=payload,
+                        kf_gids=kf_gids,
                     )
 
                 def skip_lc(_):
-                    # the skipped branch must still issue the all_gather so
-                    # both cond branches have identical collectives
+                    # the skipped branch must still issue the same
+                    # collectives (payload psums + node all_gather) so both
+                    # cond branches lower identically
                     from supersurfel_fusion_tpu.ops import deformation as defo
 
+                    kf_sh.get_payload_sharded(kf_store, best_id, AXIS)
                     defo.build_graph_sharded(
                         surfels.positions, surfels.stamps[:, 0],
                         nb_loc, AXIS,
@@ -309,12 +340,16 @@ def make_process_frame_sharded(mesh: Mesh, cfg: PipelineConfig,
             axis_name=AXIS,
         )
 
-        # --- keyframe snapshot (step 14)
+        # --- keyframe snapshot (step 14): appended on its owner shard only
         if use_ferns:
             def add_kf(ks):
-                return lc_ops.add_keyframe_payload(
-                    ks, codes, pose, stamp, kp, kp_p3d, kp_depth_ok, frame
+                new, _ = kf_sh.add_keyframe_sharded(
+                    ks, ks.db.count, codes, pose.R, pose.t, stamp,
+                    kp.xy, kp_p3d, kp.desc, kp.valid & kp_depth_ok,
+                    frame.positions, frame.orientations[:, 2, :],
+                    frame.colors, frame.confidences > 0.0, AXIS,
                 )
+                return new
 
             kf_store = jax.lax.cond(is_new, add_kf, lambda ks: ks, kf_store)
 
@@ -327,20 +362,24 @@ def make_process_frame_sharded(mesh: Mesh, cfg: PipelineConfig,
     # per-leaf specs.
     example = jax.eval_shape(lambda: init_sharded_state(cfg, mesh))
     surf_spec = jax.tree.map(lambda x: _mspec(x.ndim), example.model.surfels)
+    # keyframe store: per-keyframe rows sharded, the () count replicated
+    kf_spec = jax.tree.map(
+        lambda x: _mspec(x.ndim) if x.ndim else P(), example.kf_store
+    )
     rep = lambda tree: jax.tree.map(lambda _: P(), tree)  # noqa: E731
 
     params_spec = rep(mod_params) if mod_params is not None else P()
     in_specs = (
         surf_spec, P(AXIS), P(AXIS),
         rep(example.pose), P(), rep(example.local_map),
-        rep(example.mod_prev), rep(example.kf_store), P(), P(), P(),
+        rep(example.mod_prev), kf_spec, P(), P(), P(),
         params_spec,
         P(), P(),
     )
     out_specs = (
         surf_spec, P(AXIS), P(AXIS),
         rep(example.pose), P(), rep(example.local_map),
-        rep(example.mod_prev), rep(example.kf_store), P(), P(), P(), P(),
+        rep(example.mod_prev), kf_spec, P(), P(), P(), P(),
     )
 
     sharded = jax.shard_map(

@@ -412,3 +412,75 @@ def test_sharded_keyframe_store_matches_single_device():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(payload.pose_t), kd["t"], rtol=1e-6)
     assert int(payload.stamp) == int(kd["stamp"])
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_pipeline_trajectory_matches_single_device(fr1_xyz_path):
+    """Round-3 verdict #8: drive the FULL sharded step (D=8, sharded model +
+    sharded keyframe store, loop closure on) over a real fr1/xyz clip with a
+    revisit, and require the trajectory to match the single-device pipeline
+    within tolerance — sharding must be a deployment choice, not a different
+    SLAM system. Frames are downsampled 2x to keep the CPU compile short."""
+    import dataclasses
+
+    from supersurfel_fusion_tpu.config import (
+        FernsConfig,
+        FusionConfig as FC,
+        PipelineConfig,
+        TPSConfig,
+        VOConfig,
+    )
+    from supersurfel_fusion_tpu.io.tum import TUMDataset
+    from supersurfel_fusion_tpu.parallel.pipeline_sharded import (
+        init_sharded_state,
+        make_process_frame_sharded,
+    )
+    from supersurfel_fusion_tpu.pipeline import SupersurfelFusionTPU
+
+    cam = CameraIntrinsics(fx=525.0 / 2, fy=525.0 / 2, cx=159.75, cy=119.75,
+                           width=320, height=240)
+    cfg = PipelineConfig(
+        cam=cam,
+        tps=TPSConfig(use_pallas=False),
+        fusion=FC(nb_supersurfels_max=2048 * 8, visible_cap=2048),
+        vo=VOConfig(nb_features=256, local_map_capacity=512),
+        ferns=FernsConfig(enabled=True, min_frame_gap=8, max_keyframes=64),
+        enable_loop_closure=True,
+    )
+    ds = TUMDataset(fr1_xyz_path)
+    seq = list(range(0, 24, 2)) + [0, 1]  # forward clip + revisit
+
+    def frames():
+        for i in seq:
+            f = ds.load_frame_raw(i)
+            rgb = np.asarray(f.rgb, np.float32)[::2, ::2]
+            dep = np.asarray(f.depth, np.uint16)[::2, ::2]
+            yield jnp.asarray(rgb), jnp.asarray(dep)
+
+    # single-device reference trajectory
+    slam = SupersurfelFusionTPU(cfg)
+    poses_1 = []
+    for rgb, dep in frames():
+        out = slam.process(rgb, dep, 0.0)
+        poses_1.append((np.asarray(out.pose.R), np.asarray(out.pose.t)))
+
+    # sharded trajectory
+    mesh = make_mesh(8)
+    step = make_process_frame_sharded(mesh, cfg)
+    state = init_sharded_state(cfg, mesh)
+    poses_8 = []
+    for rgb, dep in frames():
+        state, pose, nb = step(state, rgb, dep)
+        poses_8.append((np.asarray(pose.R), np.asarray(pose.t)))
+
+    assert int(nb) > 0
+    assert int(state.kf_store.db.count) >= 1
+    # trajectories agree frame by frame (insertion order and reduction
+    # order differ across the mesh, so exact bit-equality is not expected)
+    for k, ((R1, t1), (R8, t8)) in enumerate(zip(poses_1, poses_8)):
+        assert np.all(np.isfinite(t8)), f"frame {k} t={t8}"
+        assert np.linalg.norm(t8 - t1) < 0.03, (
+            f"frame {k}: sharded t {t8} vs single {t1}"
+        )
+        assert np.linalg.norm(R8 - R1) < 0.1, f"frame {k} rotation diverged"

@@ -32,6 +32,8 @@ def main():
                     help="ICP rel_error_break (1.1 = never break early)")
     ap.add_argument("--damping", type=float, default=None,
                     help="ICP solve_damping (Tikhonov anchor to VO pose)")
+    ap.add_argument("--huber", type=float, default=None,
+                    help="ICP huber_delta (m); robust residual weighting")
     ap.add_argument("--mod", action="store_true", help="enable simple MOD")
     ap.add_argument("--yolo", action="store_true",
                     help="combined MOD (needs weights/person_detector.npz)")
@@ -48,6 +50,8 @@ def main():
     ap.add_argument("--no-icp", action="store_true")
     ap.add_argument("--tag", default="exp")
     ap.add_argument("--save", default=None, help="save trajectory here")
+    ap.add_argument("--dump-tele", default=None,
+                    help="save per-frame telemetry (npz) here")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -86,6 +90,8 @@ def main():
         icp = dataclasses.replace(icp, rel_error_break=args.rel_break)
     if args.damping is not None:
         icp = dataclasses.replace(icp, solve_damping=args.damping)
+    if args.huber is not None:
+        icp = dataclasses.replace(icp, huber_delta=args.huber)
     cfg = dataclasses.replace(cfg, icp=icp)
     if args.mod or args.yolo:
         from supersurfel_fusion_tpu.config import MODConfig
@@ -136,6 +142,9 @@ def main():
         tele.append(jnp.stack([
             out.icp_valid.astype(jnp.int32), out.nb_visible,
             out.nb_supersurfels, out.n_fused, out.n_inserted, out.n_removed,
+            out.icp_code, out.vo_matches, out.vo_valid.astype(jnp.int32),
+            out.icp_inliers.astype(jnp.int32),
+            jnp.sum(out.static_sp.astype(jnp.int32)),
         ]))
         if len(tele) >= 128:
             tele_blocks.append(jnp.stack(tele))
@@ -172,6 +181,12 @@ def main():
         from supersurfel_fusion_tpu.io.tum import write_trajectory
 
         write_trajectory(args.save, slam.stamps, slam.trajectory)
+    if args.dump_tele:
+        np.savez(args.dump_tele, tele=tv,
+                 cols=np.array(["icp_valid", "nb_visible", "nb_supersurfels",
+                                "n_fused", "n_inserted", "n_removed",
+                                "icp_code", "vo_matches", "vo_valid",
+                                "icp_inliers", "n_static_sp"]))
 
 
 if __name__ == "__main__":
