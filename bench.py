@@ -5,11 +5,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Protocol (round-2 verdict #3: "measure what a user gets"): every frame of
 fr1/xyz (790, static) decoded IN the loop through the same IO path the CLI
 ships (native prefetching PNG loader, PIL fallback), full-sequence ATE
-against ground truth; then — time permitting — the dynamic fr3/
-walking_halfsphere with MOD on, reporting both the reference's 126-pose
-window ATE and the full-sequence ATE. Matches the reference benchmark
-node's every-frame synchronous replay
+against ground truth; then the dynamic fr3/walking_halfsphere with the
+combined MOD path (detector weights committed under weights/), reporting
+both the reference's 126-pose window ATE and the full-sequence ATE. Matches
+the reference benchmark node's every-frame synchronous replay
 (`node/supersurfel_fusion_rgbd_benchmark_node.cpp:573-744`).
+
+Each sequence runs in its OWN subprocess, exactly like the shipped CLI runs
+one sequence per invocation. (Running two different compiled pipelines back
+to back in one process collapses the second one's dispatch rate on this
+backend — measured 146 -> 4.6 fps for the identical fr3 loop — so the
+subprocess split is both the honest user path and the workaround.)
 
 Baseline: the reference's design target of real-time ~30 FPS per GPU
 (BASELINE.md). vs_baseline = our_fps / 30.
@@ -19,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -26,10 +33,12 @@ FR1 = "/root/reference/rgbd_benchmark/rgbd_dataset_freiburg1_xyz"
 FR3 = "/root/reference/rgbd_benchmark/rgbd_dataset_freiburg3_walking_halfsphere"
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "0")) or None
 BASELINE_FPS = 30.0
-FR3_TIME_GUARD_S = float(os.environ.get("BENCH_FR3_GUARD", "420"))
+FR3_TIME_GUARD_S = float(os.environ.get("BENCH_FR3_GUARD", "900"))
+_WEIGHTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "weights", "person_detector.npz")
 
 
-def run_sequence(dataset, cam, n_frames=None, mod=False):
+def run_sequence(dataset, cam, n_frames=None, mod=False, yolo=False):
     import dataclasses
 
     from supersurfel_fusion_tpu.config import MODConfig, PipelineConfig
@@ -38,7 +47,10 @@ def run_sequence(dataset, cam, n_frames=None, mod=False):
 
     cfg = PipelineConfig(cam=cam)
     if mod:
-        cfg = dataclasses.replace(cfg, mod=MODConfig(enabled=True))
+        use_yolo = yolo and os.path.exists(_WEIGHTS)
+        cfg = dataclasses.replace(cfg, mod=MODConfig(
+            enabled=True, use_yolo=use_yolo,
+            weights_path=_WEIGHTS if use_yolo else ""))
     ds = TUMDataset(dataset)
     n = len(ds) if n_frames is None else min(n_frames, len(ds))
 
@@ -79,51 +91,89 @@ def run_sequence(dataset, cam, n_frames=None, mod=False):
     return n, fps, full_ate, est, gt
 
 
-def main() -> int:
+def seq_main(which: str) -> int:
+    """Child-process entry: run one sequence, print one JSON line."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    t_start = time.time()
-
     from supersurfel_fusion_tpu.config import CameraIntrinsics
     from supersurfel_fusion_tpu.eval.trajectory import ate
 
-    n1, fps1, ate1, _, _ = run_sequence(
-        FR1, CameraIntrinsics.tum_fr1(), N_FRAMES
-    )
-    extras = {"frames": n1, "ate_rmse_m": round(ate1, 4),
-              "ref_ate_rmse_m": 0.0195}
-
-    # dynamic sequence with MOD, if the time guard allows (compile ~2 min)
-    if time.time() - t_start < FR3_TIME_GUARD_S and os.path.isdir(FR3):
-        try:
-            n3, fps3, ate3, est3, gt3 = run_sequence(
-                FR3, CameraIntrinsics.tum_fr3(), N_FRAMES, mod=True
-            )
-            extras.update(
-                fr3_frames=n3, fr3_fps=round(fps3, 2),
-                fr3_ate_rmse_m=round(ate3, 4),
-            )
-            # the reference's shipped fr3 trajectory covers only the first
-            # 126 poses; report the same window for the direct comparison
-            w_ts = sorted(est3)[:126]
-            est_w = {t: est3[t] for t in w_ts}
-            gt_w = {t: p for t, p in gt3.items() if t <= w_ts[-1] + 0.02}
-            if len(gt_w) > 2:
-                extras["fr3_ate_126_m"] = round(ate(est_w, gt_w).rmse, 4)
-                extras["fr3_ref_ate_126_m"] = 0.0541
-        except Exception as e:  # fr3 must never cost the fr1 result
-            extras["fr3_error"] = str(e)[:120]
-
-    print(
-        json.dumps(
-            {
-                "metric": "fps_tum_fr1_xyz",
-                "value": round(fps1, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps1 / BASELINE_FPS, 3),
-                **extras,
-            }
+    if which == "fr1":
+        n, fps, full_ate, _, _ = run_sequence(
+            FR1, CameraIntrinsics.tum_fr1(), N_FRAMES
         )
+        print(json.dumps({"frames": n, "fps": round(fps, 2),
+                          "ate_rmse_m": round(full_ate, 4)}))
+        return 0
+
+    # fr3: the flagship dynamic configuration — combined MOD path with the
+    # committed person-detector weights, like the reference benchmark launch
+    # (`launch/supersurfel_fusion_rgbd_benchmark.launch:27` use_yolo=true)
+    n, fps, full_ate, est, gt = run_sequence(
+        FR3, CameraIntrinsics.tum_fr3(), N_FRAMES, mod=True, yolo=True
     )
+    res = {"frames": n, "fps": round(fps, 2),
+           "ate_rmse_m": round(full_ate, 4),
+           "yolo": os.path.exists(_WEIGHTS)}
+    # the reference's shipped fr3 trajectory covers only the first 126
+    # poses; report the same window for the direct comparison
+    w_ts = sorted(est)[:126]
+    est_w = {t: est[t] for t in w_ts}
+    gt_w = {t: p for t, p in gt.items() if t <= w_ts[-1] + 0.02}
+    if len(gt_w) > 2:
+        res["ate_126_m"] = round(ate(est_w, gt_w).rmse, 4)
+    print(json.dumps(res))
+    return 0
+
+
+def _run_child(which: str, timeout_s: float):
+    cmd = [sys.executable, os.path.abspath(__file__), "--seq", which]
+    try:
+        p = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in p.stdout.strip().splitlines()
+                if l.startswith("{")]
+        if p.returncode != 0 or not line:
+            return {"error": (p.stderr or p.stdout)[-300:]}
+        return json.loads(line[-1])
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {timeout_s}s"}
+
+
+def main() -> int:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--seq":
+        return seq_main(sys.argv[2])
+
+    t_start = time.time()
+    r1 = _run_child("fr1", FR3_TIME_GUARD_S)
+    out = {
+        "metric": "fps_tum_fr1_xyz",
+        "value": r1.get("fps", 0.0),
+        "unit": "frames/s",
+        "vs_baseline": round(r1.get("fps", 0.0) / BASELINE_FPS, 3),
+        "frames": r1.get("frames"),
+        "ate_rmse_m": r1.get("ate_rmse_m"),
+        "ref_ate_rmse_m": 0.0195,
+    }
+    if "error" in r1:
+        out["fr1_error"] = r1["error"]
+
+    if os.path.isdir(FR3):
+        left = FR3_TIME_GUARD_S - (time.time() - t_start)
+        r3 = _run_child("fr3", max(left, 300.0))
+        if "error" in r3:
+            out["fr3_error"] = r3["error"]
+        else:
+            out.update(
+                fr3_frames=r3.get("frames"), fr3_fps=r3.get("fps"),
+                fr3_ate_rmse_m=r3.get("ate_rmse_m"),
+                fr3_yolo=r3.get("yolo"),
+            )
+            if "ate_126_m" in r3:
+                out["fr3_ate_126_m"] = r3["ate_126_m"]
+                out["fr3_ref_ate_126_m"] = 0.0541
+    print(json.dumps(out))
     return 0
 
 

@@ -159,6 +159,11 @@ def main(argv=None) -> int:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--depth-scale", type=float, default=1.0 / 5000.0)
     ap.add_argument("--mod", action="store_true")
+    ap.add_argument("--yolo", action="store_true",
+                    help="combined MOD with the person detector "
+                         "(needs --weights)")
+    ap.add_argument("--weights", default="weights/person_detector.npz",
+                    help="person-detector .npz checkpoint for --yolo")
     ap.add_argument("--loop-closure", action="store_true")
     ap.add_argument("--idle-timeout", type=float, default=10.0,
                     help="--watch: end the stream after this many seconds "
@@ -190,10 +195,16 @@ def main(argv=None) -> int:
         "fr2": CameraIntrinsics.tum_fr2,
         "fr3": CameraIntrinsics.tum_fr3,
     }[args.cam]()
+    weights = (args.weights
+               if args.yolo and os.path.exists(args.weights) else "")
+    if args.yolo and not weights and not args.quiet:
+        print(f"--yolo: weights {args.weights} not found; running the "
+              "simple MOD path", file=sys.stderr, flush=True)
     cfg = PipelineConfig(
         cam=cam,
         depth_scale=args.depth_scale,
-        mod=MODConfig(enabled=args.mod),
+        mod=MODConfig(enabled=args.mod or args.yolo, use_yolo=bool(weights),
+                      weights_path=weights),
         enable_loop_closure=args.loop_closure,
     )
     if args.loop_closure:
