@@ -197,6 +197,21 @@ class MODConfig:
     # unambiguous. Set 0 to disable (strict reference behaviour).
     depth_cue_scale_simple: float = 12.0
     depth_cue_scale_combined: float = 20.0
+    # Direct per-superpixel depth-residual marking with hysteresis (ours; no
+    # reference equivalent). The geometric clustering fragments moving
+    # people (motion blur + cloth break the convexity edges), so the
+    # reference's cluster-mean statistics dilute or drop the strongest
+    # evidence — measured on fr3/walking_halfsphere f55-100: 50-240
+    # superpixels/frame with mean newly-closer residual > 0.15 m, only
+    # ~half inside any cluster. Superpixels above resid_hot_thresh are
+    # marked dynamic outright and expanded Canny-style over the adjacency
+    # into neighbours above resid_low_thresh. Only the POSITIVE (newly-
+    # closer) residual marks: negative residual is background the mover
+    # just revealed, which is static.
+    resid_direct: bool = True
+    resid_hot_thresh: float = 0.2
+    resid_low_thresh: float = 0.06
+    resid_hyst_iters: int = 8
 
 
 @dataclass(frozen=True)

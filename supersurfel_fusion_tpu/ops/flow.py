@@ -49,11 +49,21 @@ def _apply_similarity(a, b, tx, ty, p):
 
 def estimate_similarity_ransac(src: Array, dst: Array, ok: Array,
                                thresh: float = 4.0, n_hyp: int = 256,
-                               seed: int = 1234):
+                               seed: int = 1234, grid: int = 8,
+                               img_w: float = 640.0, img_h: float = 480.0):
     """RANSAC similarity src->dst over masked correspondences.
 
     Returns (a, b, tx, ty, valid). Hypotheses are drawn from a fixed seeded
-    index table; scoring and the final inlier-LSQ refit are fully batched."""
+    index table; scoring and the final inlier-LSQ refit are fully batched.
+
+    Hypotheses are ranked by spatial COVERAGE (number of distinct grid
+    cells containing an inlier), with raw inlier count only as tiebreak:
+    the camera motion explains flow across the WHOLE frame, while a moving
+    object is spatially compact — on fr3/walking_halfsphere a texture-rich
+    walker can contribute more raw matches than the background, and a pure
+    inlier-count RANSAC then locks onto the PERSON's motion, inverting the
+    downstream static/dynamic classification (measured: w126 ATE 0.17 ->
+    0.45 when keypoint density concentrated on the walker)."""
     N = src.shape[0]
     key = jax.random.PRNGKey(seed)
     idx = jax.random.randint(key, (n_hyp, 2), 0, N)
@@ -68,7 +78,16 @@ def estimate_similarity_ransac(src: Array, dst: Array, ok: Array,
     pred = _apply_similarity(a, b, tx, ty, src[None, :, :])   # (n_hyp, N, 2)
     err = jnp.linalg.norm(pred - dst[None, :, :], axis=-1)
     inl = (err < thresh) & ok[None, :]
-    scores = jnp.where(pair_ok, jnp.sum(inl, axis=1), -1)
+
+    cellw, cellh = img_w / grid, img_h / grid
+    cx = jnp.clip((src[:, 0] / cellw).astype(jnp.int32), 0, grid - 1)
+    cy = jnp.clip((src[:, 1] / cellh).astype(jnp.int32), 0, grid - 1)
+    onehot = jax.nn.one_hot(cy * grid + cx, grid * grid,
+                            dtype=jnp.float32)                # (N, G*G)
+    covered = (inl.astype(jnp.float32) @ onehot) > 0.0        # (n_hyp, G*G)
+    coverage = jnp.sum(covered, axis=-1)
+    n_inl_h = jnp.sum(inl, axis=1)
+    scores = jnp.where(pair_ok, coverage * 4096.0 + n_inl_h, -1.0)
     best = jnp.argmax(scores)
     best_inl = inl[best] & ok
 
@@ -142,16 +161,19 @@ def bilinear_sample(img: Array, xs: Array, ys: Array, fill: float = 0.0) -> Arra
 def se3_depth_residual(depth_cur: Array, depth_prev: Array, R: Array,
                        t: Array, fx: float, fy: float, cx: float, cy: float,
                        z_min: float = 0.2, z_max: float = 4.0) -> Array:
-    """Per-pixel rigid-motion depth residual |sample(prev_depth, proj(X')) -
-    X'.z| with X' = R^T (backproject(u, v, depth_cur) - t).
+    """Per-pixel SIGNED rigid-motion depth residual sample(prev_depth,
+    proj(X')) - X'.z with X' = R^T (backproject(u, v, depth_cur) - t).
 
     (R, t) maps prev-camera points to current-camera points (the output of
     `loop_closure.ransac_rigid_3d` on matched keypoint 3D pairs). For a
     static scene the sampled previous depth equals the predicted depth
     everywhere — including at depth discontinuities, which the 2D-affine
-    depth warp gets wrong by metres (parallax). Moving objects leave
-    metre-scale residuals at every pixel they newly cover or reveal.
-    Returns (H, W) residual, 0 where either depth is invalid/out of range.
+    depth warp gets wrong by metres (parallax). The sign separates the two
+    mover signatures: POSITIVE (prev depth deeper than predicted) marks
+    pixels newly COVERED by a moving object — the object itself; NEGATIVE
+    marks background the mover just revealed — static scene that must NOT
+    be rejected. Returns (H, W) residual, 0 where either depth is
+    invalid/out of range.
     """
     H, W = depth_cur.shape
     y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
@@ -171,7 +193,7 @@ def se3_depth_residual(depth_cur: Array, depth_prev: Array, R: Array,
         & (zs >= z_min)
         & (up >= 0) & (up <= W - 1) & (vp >= 0) & (vp <= H - 1)
     )
-    return jnp.where(ok, jnp.abs(zs - zp), 0.0)
+    return jnp.where(ok, zs - zp, 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -116,14 +116,24 @@ def _kabsch(P: Array, Q: Array, w: Array):
 
 def ransac_rigid_3d(src: Array, dst: Array, ok: Array, n_hyp: int = 256,
                     thresh: float = 0.05, seed: int = 7,
-                    min_inliers: int = 30, min_ratio: float = 0.3):
+                    min_inliers: int = 30, min_ratio: float = 0.3,
+                    src_xy: Array | None = None,
+                    img_w: float = 640.0, img_h: float = 480.0,
+                    cov_grid: int = 8):
     """RANSAC rigid transform dst ~ R src + t from masked 3D pairs.
 
     Hypothesis triples are drawn from the VALID subset (valid-first
     permutation + modulo indexing), not uniformly over all slots: with a
     sparse `ok` mask, uniform sampling makes almost every triple contain an
     invalid pair, and the fit silently degenerates (measured on fr3 MOD:
-    rigid_ok false on every frame until this fix)."""
+    rigid_ok false on every frame until this fix).
+
+    When `src_xy` (pixel positions of the src points) is given, hypotheses
+    are ranked by spatial COVERAGE (distinct grid cells with an inlier)
+    with the raw count as tiebreak — same mover-capture defence as
+    `flow.estimate_similarity_ransac`: a texture-rich walker can out-vote
+    the background on raw inliers, and the rigid fit then models the
+    PERSON's motion, silently inverting the depth-residual cue."""
     N = src.shape[0]
     key = jax.random.PRNGKey(seed)
     n_ok = jnp.sum(ok.astype(jnp.int32))
@@ -139,7 +149,18 @@ def ransac_rigid_3d(src: Array, dst: Array, ok: Array, n_hyp: int = 256,
     pred = jnp.einsum("hij,nj->hni", R, src) + t[:, None, :]
     err = jnp.linalg.norm(pred - dst[None], axis=-1)
     inl = (err < thresh) & ok[None, :]
-    scores = jnp.where(jnp.sum(w3, -1) >= 3, jnp.sum(inl, -1), -1)
+    n_inl_h = jnp.sum(inl, -1)
+    if src_xy is not None:
+        cellw, cellh = img_w / cov_grid, img_h / cov_grid
+        cx = jnp.clip((src_xy[:, 0] / cellw).astype(jnp.int32), 0, cov_grid - 1)
+        cy = jnp.clip((src_xy[:, 1] / cellh).astype(jnp.int32), 0, cov_grid - 1)
+        onehot = jax.nn.one_hot(cy * cov_grid + cx, cov_grid * cov_grid,
+                                dtype=jnp.float32)
+        coverage = jnp.sum((inl.astype(jnp.float32) @ onehot) > 0.0, axis=-1)
+        rank = coverage * 4096.0 + n_inl_h
+    else:
+        rank = n_inl_h.astype(jnp.float32)
+    scores = jnp.where(jnp.sum(w3, -1) >= 3, rank, -1.0)
     best = jnp.argmax(scores)
     best_inl = inl[best] & ok
     # refit on winners

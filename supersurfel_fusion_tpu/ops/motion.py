@@ -316,17 +316,24 @@ def detect_motion(
         R_rig, t_rig, rigid_ok, _ = ransac_rigid_3d(
             prev.kp_p3d, kp_p3d[midx], pair_ok, thresh=0.05,
             min_inliers=15, min_ratio=0.15,
+            src_xy=prev.kp_xy, img_w=float(W), img_h=float(H),
         )
         resid = se3_depth_residual(
             depth, prev.depth, R_rig, t_rig,
             cam.fx, cam.fy, cam.cx, cam.cy,
         )
-        r_valid = (resid > 0.0).astype(jnp.float32)
+        resid_abs = jnp.abs(resid)
+        # POSITIVE part only: pixels newly covered by a mover. The negative
+        # part is background the mover just revealed — static scene.
+        resid_pos = jnp.clip(resid, 0.0, None)
+        r_valid = (resid_abs > 0.0).astype(jnp.float32)
         rsums = cell_reduce(
-            jnp.stack([resid, r_valid], axis=-1), tps.labels, gh, gw, cs
+            jnp.stack([resid_abs, resid_pos, r_valid], axis=-1),
+            tps.labels, gh, gw, cs,
         )
-        sp_zdiff = (rsums[..., 0] / jnp.maximum(rsums[..., 1], 32.0)
+        sp_zdiff = (rsums[..., 0] / jnp.maximum(rsums[..., 2], 32.0)
                     ).reshape(-1)
+        sp_pos_t = rsums[..., 1] / jnp.maximum(rsums[..., 2], 32.0)
         zsp = jnp.where(pos_t[..., 2] > 0, pos_t[..., 2], 0.0).reshape(-1)
         cl_zdiff = jnp.zeros((n_sp + 1,), jnp.float32).at[lab_c].add(sp_zdiff)
         cl_z = jnp.zeros((n_sp + 1,), jnp.float32).at[lab_c].add(zsp)
@@ -338,11 +345,44 @@ def detect_motion(
             rigid_ok & (cl_zdiff > depth_thresh)
         )
 
-    dynamic = ((label >= 0) & dyn_cluster[lab_c]) | person
+        # DIRECT per-superpixel marking with hysteresis. The geometric
+        # clustering fragments people (motion blur + non-planar cloth kill
+        # the convexity edges), so cluster-mean statistics dilute or drop
+        # exactly the superpixels with the strongest evidence — measured on
+        # fr3/walking_halfsphere frames 55-100: 50-240 superpixels/frame
+        # with mean positive residual > 0.15 m, only ~half inside any
+        # cluster. Superpixels whose own newly-closer residual is
+        # unambiguous (> resid_hot_thresh) are marked dynamic outright and
+        # expanded Canny-style over the adjacency into weak-evidence
+        # (> resid_low_thresh) neighbours, covering the constant-depth
+        # interior of laterally-moving bodies.
+        if cfg.resid_direct:
+            hot_t = (sp_pos_t > cfg.resid_hot_thresh) & rigid_ok
+            weak_t = sp_pos_t > cfg.resid_low_thresh
+
+            def hyst(_, m):
+                grown = m
+                for k, (dy, dx) in enumerate(_OFFS25):
+                    if dy == 0 and dx == 0:
+                        continue
+                    grown = grown | (
+                        _shift_table(m, dy, dx, fill=False) & adj[..., k]
+                    )
+                return m | (grown & weak_t)
+
+            mark_t = jax.lax.fori_loop(0, cfg.resid_hyst_iters, hyst, hot_t)
+            mark_resid = mark_t.reshape(-1)
+        else:
+            mark_resid = jnp.zeros((n_sp,), dtype=bool)
+    else:
+        mark_resid = jnp.zeros((n_sp,), dtype=bool)
+
+    dynamic = ((label >= 0) & dyn_cluster[lab_c]) | person | mark_resid
 
     first_frame = ~prev.initialized | ~H_ok
-    # person-driven dynamics apply even when flow compensation failed
-    is_static_sp = jnp.where(first_frame, ~person, ~dynamic)
+    # person- and residual-driven dynamics apply even when the 2D flow
+    # compensation failed (the rigid fit is gated separately by rigid_ok)
+    is_static_sp = jnp.where(first_frame, ~(person | mark_resid), ~dynamic)
 
     # ---- static keypoints (dynamic ones dropped from VO + prev context)
     static_kp = kp.valid & is_static_sp[kp_sp]

@@ -214,11 +214,17 @@ def pnp_solve(R0: Array, t0: Array, p3d: Array, uv: Array, ok: Array,
 def update_local_map(lmap: LocalMap, kp: Keypoints, depth0: Array,
                      matches: VOMatches, R: Array, t: Array,
                      cam: CameraIntrinsics, cfg: VOConfig,
-                     static_kp: Array | None = None) -> LocalMap:
+                     static_kp: Array | None = None,
+                     labels: Array | None = None,
+                     static_sp: Array | None = None) -> LocalMap:
     """Insert/replace map points from the frame + untracked eviction
     (LocalMap::update + clean, local_map.cpp:40-83, 185-198).
 
-    `static_kp`: optional per-keypoint static mask (MOD path)."""
+    `static_kp`: optional per-keypoint static mask (MOD path).
+    `labels`/`static_sp`: when given (MOD path), existing map points whose
+    projection lands on a dynamic superpixel are evicted — a mover that
+    slipped into the map while briefly undetected must not keep feeding
+    PnP (LocalMap::updateMOD cleaning pass, local_map.cpp:116-133)."""
     K = kp.capacity
     M = lmap.capacity
     H, W = depth0.shape
@@ -243,8 +249,25 @@ def update_local_map(lmap: LocalMap, kp: Keypoints, depth0: Array,
     positions = lmap.positions.at[rep_tgt].set(p_world, mode="drop")
     desc = lmap.desc.at[rep_tgt].set(kp.desc, mode="drop")
 
-    # 2) eviction: drop untracked (counter >= threshold)
+    # 2) eviction: drop untracked (counter >= threshold) and, on the MOD
+    # path, points projecting onto currently-dynamic superpixels
     keep = lmap.valid & (lmap.counters < cfg.untracked_threshold)
+    if labels is not None and static_sp is not None:
+        Rv = R.T
+        tv = -(Rv @ t)
+        p_view = lmap.positions @ Rv.T + tv
+        zm = p_view[:, 2]
+        safe_zm = jnp.where(jnp.abs(zm) > 1e-9, zm, 1e-9)
+        um = p_view[:, 0] * cam.fx / safe_zm + cam.cx
+        vm = p_view[:, 1] * cam.fy / safe_zm + cam.cy
+        in_img = (
+            (zm > 0) & (um >= 0) & (um < cam.width)
+            & (vm >= 0) & (vm < cam.height)
+        )
+        ui_m = jnp.clip(jnp.round(um).astype(jnp.int32), 0, W - 1)
+        vi_m = jnp.clip(jnp.round(vm).astype(jnp.int32), 0, H - 1)
+        on_dynamic = in_img & ~static_sp[labels[vi_m, ui_m]]
+        keep = keep & ~on_dynamic
 
     # 3) insert unmatched new points into free slots (stable compaction:
     # free slots enumerated in order, new points appended)

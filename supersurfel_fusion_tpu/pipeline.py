@@ -351,7 +351,9 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
     # (SupersurfelFusion::updateLocalMap, supersurfel_fusion.cu:532-549)
     if cfg.enable_sparse_vo:
         lmap = vo_ops.update_local_map(
-            lmap, kp, fdepth, matches, pose.R, pose.t, cam, cfg.vo
+            lmap, kp, fdepth, matches, pose.R, pose.t, cam, cfg.vo,
+            labels=tps.labels if cfg.mod.enabled else None,
+            static_sp=is_static_sp if cfg.mod.enabled else None,
         )
 
     # 13. model update / bootstrap

@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--max-color", type=float, default=None)
     ap.add_argument("--min-ndot", type=float, default=None)
     ap.add_argument("--icp-iters", type=int, default=None)
+    ap.add_argument("--min-inliers", type=float, default=None)
     ap.add_argument("--visible-cap", type=int, default=None)
     ap.add_argument("--rel-break", type=float, default=None,
                     help="ICP rel_error_break (1.1 = never break early)")
@@ -86,6 +87,8 @@ def main():
         icp = dataclasses.replace(icp, min_normal_dot=args.min_ndot)
     if args.icp_iters is not None:
         icp = dataclasses.replace(icp, nb_iters=args.icp_iters)
+    if args.min_inliers is not None:
+        icp = dataclasses.replace(icp, min_inliers=args.min_inliers)
     if args.rel_break is not None:
         icp = dataclasses.replace(icp, rel_error_break=args.rel_break)
     if args.damping is not None:
