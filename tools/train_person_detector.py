@@ -43,16 +43,18 @@ def collect(args) -> int:
         cam=CameraIntrinsics.tum_fr3(), mod=MODConfig(enabled=True)
     )
     ds = TUMDataset(args.dataset)
-    n = min(args.max_frames, len(ds)) if args.max_frames else len(ds)
+    end = len(ds)
+    if args.max_frames:
+        end = min(args.start + args.max_frames, end)
     slam = SupersurfelFusionTPU(cfg)
 
     gh, gw, cs = cfg.grid_h, cfg.grid_w, cfg.tps.cell_size
     grays, depths, all_boxes = [], [], []
     t0 = time.time()
-    for i in range(n):
+    for i in range(args.start, end):
         f = ds.load_frame_raw(i)
         out = slam.process(f.rgb, f.depth, f.timestamp)
-        if i < 2:  # MOD needs a previous frame
+        if i < args.start + 2:  # MOD needs a previous frame
             continue
         static = np.asarray(out.static_sp).reshape(gh, gw)
         dyn = ~static
@@ -76,8 +78,10 @@ def collect(args) -> int:
         B[i, :len(b)] = b
         C[i] = len(b)
     np.savez_compressed(args.out, gray=np.stack(grays),
-                        depth=np.stack(depths), boxes=B, counts=C)
-    print(f"saved {len(all_boxes)} frames, "
+                        depth=np.stack(depths), boxes=B, counts=C,
+                        start=args.start, end=end,
+                        dataset=os.path.basename(args.dataset.rstrip("/")))
+    print(f"saved {len(all_boxes)} frames [{args.start}, {end}), "
           f"{int(C.sum())} boxes -> {args.out}")
     return 0
 
@@ -224,28 +228,52 @@ def train(args) -> int:
               flush=True)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    np.savez(args.out, **{k: np.asarray(v) for k, v in params.items()})
-    print(f"saved weights -> {args.out}")
+    meta = {}
+    for k in ("start", "end", "dataset"):
+        if k in data:
+            meta[f"label_{k}"] = data[k]
+    np.savez(args.out, **{k: np.asarray(v) for k, v in params.items()},
+             **meta)
+    print(f"saved weights -> {args.out} (label provenance: {meta})")
 
-    # quick self-check: detection recall on the training set
-    hits = tot = 0
-    for i in range(0, N, max(N // 50, 1)):
-        det = detect({k: jnp.asarray(v) for k, v in params.items()},
-                     jnp.asarray(gray_u8[i], jnp.float32),
-                     jnp.asarray(depth_u16[i].astype(np.float32) / 5000.0))
-        db = np.asarray(det.boxes)[np.asarray(det.valid)]
-        for b in range(counts[i]):
-            tot += 1
-            x0, y0, x1, y1 = boxes[i, b]
-            for d0 in db:
-                ix = max(0, min(x1, d0[2]) - max(x0, d0[0]))
-                iy = max(0, min(y1, d0[3]) - max(y0, d0[1]))
-                inter = ix * iy
-                a = (x1 - x0) * (y1 - y0) + (d0[2] - d0[0]) * (d0[3] - d0[1])
-                if inter / max(a - inter, 1e-9) > 0.3:
-                    hits += 1
-                    break
-    print(f"train-set recall@IoU0.3: {hits}/{tot}")
+    def eval_boxes(name, g_u8, d_u16, bxs, cts, stride_n=1):
+        """Box recall/precision@IoU0.3 of the detector vs (pseudo-)labels."""
+        hits = tot = ndet = nmatch = 0
+        for i in range(0, len(g_u8), stride_n):
+            det = detect({k: jnp.asarray(v) for k, v in params.items()},
+                         jnp.asarray(g_u8[i], jnp.float32),
+                         jnp.asarray(d_u16[i].astype(np.float32) / 5000.0))
+            db = np.asarray(det.boxes)[np.asarray(det.valid)]
+            ndet += len(db)
+            used = set()
+            for b in range(cts[i]):
+                tot += 1
+                x0, y0, x1, y1 = bxs[i, b]
+                for k, d0 in enumerate(db):
+                    ix = max(0, min(x1, d0[2]) - max(x0, d0[0]))
+                    iy = max(0, min(y1, d0[3]) - max(y0, d0[1]))
+                    inter = ix * iy
+                    a = ((x1 - x0) * (y1 - y0)
+                         + (d0[2] - d0[0]) * (d0[3] - d0[1]))
+                    if inter / max(a - inter, 1e-9) > 0.3:
+                        hits += 1
+                        if k not in used:
+                            used.add(k)
+                            nmatch += 1
+                        break
+            # precision counts detections that match ANY label
+        rec = hits / max(tot, 1)
+        prec = nmatch / max(ndet, 1)
+        print(f"{name}: recall@IoU0.3 {hits}/{tot} = {rec:.2f}  "
+              f"precision {nmatch}/{ndet} = {prec:.2f}")
+        return rec, prec
+
+    eval_boxes("train-set", gray_u8, depth_u16, boxes, counts,
+               stride_n=max(N // 50, 1))
+    if args.eval_data:
+        ed = np.load(args.eval_data)
+        eval_boxes(f"HELD-OUT ({os.path.basename(args.eval_data)})",
+                   ed["gray"], ed["depth"], ed["boxes"], ed["counts"])
     return 0
 
 
@@ -256,7 +284,12 @@ def main() -> int:
     ap.add_argument("--dataset", default="/root/reference/rgbd_benchmark/"
                     "rgbd_dataset_freiburg3_walking_halfsphere")
     ap.add_argument("--data", default="/tmp/mod_boxes.npz")
+    ap.add_argument("--eval-data", default=None,
+                    help="held-out labels npz for recall/precision")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--start", type=int, default=0,
+                    help="--collect: first frame (use a range DISJOINT from "
+                         "the scored benchmark window)")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--batch", type=int, default=8)
