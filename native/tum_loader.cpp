@@ -125,11 +125,15 @@ bool decode_png(const std::string& path, Image& out) {
   std::vector<std::pair<const uint8_t*, size_t>> idat_spans;
   size_t idat_total = 0;
   size_t off = 8;
-  while (off + 8 <= buf.size()) {
+  while (off + 12 <= buf.size()) {
     uint32_t len = be32(&buf[off]);
+    // bound the chunk body (data + 4-byte CRC) to the file buffer: a
+    // truncated/corrupt PNG must fail cleanly, not overread the heap
+    if (len > buf.size() - off - 12) return false;
     const char* type = reinterpret_cast<const char*>(&buf[off + 4]);
     const uint8_t* data = &buf[off + 8];
     if (memcmp(type, "IHDR", 4) == 0) {
+      if (len < 13) return false;
       out.width = be32(data);
       out.height = be32(data + 4);
       out.bit_depth = data[8];
@@ -164,6 +168,7 @@ bool decode_png(const std::string& path, Image& out) {
   // one libdeflate decompressor per worker thread, reused across frames
   thread_local struct libdeflate_decompressor* decomp =
       libdeflate_alloc_decompressor();
+  if (!decomp) return false;
   size_t actual = 0;
   if (libdeflate_zlib_decompress(decomp, idat_ptr, idat_total, raw.data(),
                                  raw.size(), &actual) != LIBDEFLATE_SUCCESS ||

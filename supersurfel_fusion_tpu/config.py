@@ -162,6 +162,16 @@ class VOConfig:
     max_translation_jump: float = 0.5
     match_max_px_dist: float = 100.0
     local_map_capacity: int = 2048
+    # Detection NMS cell (px) for the per-cell argmax keypoint spread.
+    # 32 is the round-3 fr1-parity value; 16 quadruples the candidate cells
+    # (denser detections) which helped the fr3 dynamic window but knocked
+    # 7.4% of fr1 frames out of the ICP gates (round-4 verdict table) —
+    # so it is a per-sequence profile knob, not a global constant.
+    detect_cell: int = 32
+    # rank keypoints inside/across cells by Harris response instead of the
+    # FAST arc score (ORB_HARRIS_SCORE, `ORBextractor.cpp` keeps
+    # best-Harris corners). Costs one Harris pass per pyramid level.
+    harris_rank: bool = True
 
 
 @dataclass(frozen=True)

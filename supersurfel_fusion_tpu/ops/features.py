@@ -44,7 +44,6 @@ _CIRCLE = [
 _PATCH_R = 20          # patch radius for orientation + descriptor sampling
 _PATCH = 2 * _PATCH_R + 1
 _ORI_R = 15            # intensity-centroid radius (ORB convention)
-_CELL = 16         # detection NMS cell (spatial spread is load-bearing: see git log)
 
 
 class Keypoints(NamedTuple):
@@ -150,7 +149,7 @@ def harris_response(img: Array, k: float = 0.04, r: int = 3) -> Array:
 
 
 def _select_level_keypoints(corner_hi, corner_lo, score, harris, k_budget: int,
-                            border: int):
+                            border: int, cell: int):
     """FAST-score 3x3 NMS + Harris-ranked per-cell argmax + top-k selection.
     Cells with a high-threshold corner prefer it; cells with only
     low-threshold corners fall back (the ORBextractor min_th redetection
@@ -177,13 +176,13 @@ def _select_level_keypoints(corner_hi, corner_lo, score, harris, k_budget: int,
     key_hi = jnp.where(corner_hi & in_border & nms, hkey, 0.0)
     key_lo = jnp.where(corner_lo & in_border & nms, hkey, 0.0)
 
-    Hp = (H + _CELL - 1) // _CELL * _CELL
-    Wp = (W + _CELL - 1) // _CELL * _CELL
+    Hp = (H + cell - 1) // cell * cell
+    Wp = (W + cell - 1) // cell * cell
 
     def cellify(key):
         keyp = jnp.pad(key, ((0, Hp - H), (0, Wp - W)))
-        cells = keyp.reshape(Hp // _CELL, _CELL, Wp // _CELL, _CELL)
-        cells = cells.transpose(0, 2, 1, 3).reshape(-1, _CELL * _CELL)
+        cells = keyp.reshape(Hp // cell, cell, Wp // cell, cell)
+        cells = cells.transpose(0, 2, 1, 3).reshape(-1, cell * cell)
         idx = jnp.argmax(cells, axis=-1)
         val = jnp.take_along_axis(cells, idx[:, None], axis=-1)[:, 0]
         return idx, val
@@ -202,9 +201,9 @@ def _select_level_keypoints(corner_hi, corner_lo, score, harris, k_budget: int,
     top_rank, top_cell = jax.lax.top_k(rank, k)
     top_val = best_val[top_cell]
     flat = best_in_cell[top_cell]
-    ncw = Wp // _CELL
-    cy = (top_cell // ncw) * _CELL + flat // _CELL
-    cx = (top_cell % ncw) * _CELL + flat % _CELL
+    ncw = Wp // cell
+    cy = (top_cell // ncw) * cell + flat // cell
+    cx = (top_cell % ncw) * cell + flat % cell
     valid = top_val > 0.0
     return cx, cy, jnp.where(valid, top_val, 0.0), valid
 
@@ -220,24 +219,17 @@ def _ori_masks():
 
 
 def _brief_pattern():
-    """(256, 2, 2) int32 sampling-pair offsets.
+    """(256, 2, 2) int32 sampling-pair offsets: seeded BRIEF-style Gaussian
+    pairs (sigma = patch/5), self-contained.
 
-    Prefers the LEARNED decorrelated pattern (weights/brief_pattern.npz,
-    produced by tools/learn_brief_pattern.py with the ORB-paper greedy
-    variance/decorrelation selection over fr1 patches). The seeded-Gaussian
-    fallback produces heavily correlated bits — measured 2-7x fewer
-    GMS-consistent matches on fr3 frame pairs — and exists only so the
-    extractor works without the committed weights file."""
-    import os as _os
-
+    A "learned" greedy variance/decorrelation pattern (ORB-paper style,
+    trained on TUM patches) was tried in round 4 and REMOVED with evidence:
+    it measured worse on every sequence, including the one it was trained
+    on (fr1/300 ATE 0.0292 with vs 0.0248 without; fr3 window 0.2884 vs
+    0.1297 at cell=32 — artifacts/exp1_features.log). Matching is
+    framework-internal (no interop with external ORB descriptors), so the
+    fixed seeded pattern has no compatibility cost."""
     import numpy as _np
-
-    path = _os.path.join(
-        _os.path.dirname(_os.path.abspath(__file__)), "..", "..",
-        "weights", "brief_pattern.npz",
-    )
-    if _os.path.exists(path):
-        return _np.load(path)["pattern"].astype(_np.int32)
 
     rng = _np.random.default_rng(5489)
     pts = rng.normal(0.0, 31.0 / 5.0, (256, 2, 2))
@@ -313,9 +305,10 @@ def detect_and_describe(gray: Array, cfg: VOConfig) -> Keypoints:
 
         hi, lo, score = fast_scores(img, float(cfg.ini_th_fast),
                                     float(cfg.min_th_fast))
-        harris = harris_response(img)
+        harris = harris_response(img) if cfg.harris_rank else score
         cx, cy, val, valid = _select_level_keypoints(
-            hi, lo, score, harris, budgets[lvl], border=_PATCH_R + 1
+            hi, lo, score, harris, budgets[lvl], border=_PATCH_R + 1,
+            cell=int(cfg.detect_cell),
         )
         patches = _extract_patches(img, cx, cy)
         angle = _orientations(patches)

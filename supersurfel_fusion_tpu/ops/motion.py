@@ -216,7 +216,8 @@ def detect_motion(
                                        kp.desc, kp_nonperson)
     mxy = kp.xy[midx]
     inl = gms_filter(prev.kp_xy, mxy, mok, float(W), float(H))
-    a, b, tx, ty, H_ok = estimate_similarity_ransac(prev.kp_xy, mxy, inl)
+    a, b, tx, ty, H_ok = estimate_similarity_ransac(
+        prev.kp_xy, mxy, inl, img_w=float(W), img_h=float(H))
 
     gray_est = warp_similarity(prev.gray, a, b, tx, ty, 0.0)
     flow = dense_flow(rgb_gray, gray_est)   # current -> warped prev (DIS order)

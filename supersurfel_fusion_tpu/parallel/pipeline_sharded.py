@@ -326,7 +326,9 @@ def make_process_frame_sharded(mesh: Mesh, cfg: PipelineConfig,
         # --- VO local-map maintenance with the fused pose (step 12)
         if cfg.enable_sparse_vo:
             lmap = vo_ops.update_local_map(
-                lmap, kp, fdepth, matches, pose.R, pose.t, cam, cfg.vo
+                lmap, kp, fdepth, matches, pose.R, pose.t, cam, cfg.vo,
+                labels=tps.labels if cfg.mod.enabled else None,
+                static_sp=is_static_sp if cfg.mod.enabled else None,
             )
 
         # --- sharded fusion / insertion / filtering / compaction (step 13).

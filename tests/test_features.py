@@ -83,7 +83,10 @@ def test_detect_and_describe_rotation_invariance(rng):
 
 def test_translation_matching():
     rng = np.random.default_rng(1234)  # local: texture quality matters here
-    cfg = VOConfig(nb_features=300, nb_levels=4)
+    # 240x180 is a quarter of the production VGA area: scale the detection
+    # cell with it (16 here ~ the default 32 at 640x480) so the per-cell
+    # argmax has the same cell count the production config gets
+    cfg = VOConfig(nb_features=300, nb_levels=4, detect_cell=16)
     base = rng.uniform(0, 255, (200, 260)).astype(np.float32)
     base = np.asarray(gaussian_blur(jnp.asarray(base))) * 2
     a = base[:180, :240]

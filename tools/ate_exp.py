@@ -35,6 +35,10 @@ def main():
                     help="ICP solve_damping (Tikhonov anchor to VO pose)")
     ap.add_argument("--huber", type=float, default=None,
                     help="ICP huber_delta (m); robust residual weighting")
+    ap.add_argument("--cell", type=int, default=None,
+                    help="VO detection NMS cell (px): 32=r3 parity, 16=dense")
+    ap.add_argument("--no-harris", action="store_true",
+                    help="rank keypoints by FAST score (round-3 behaviour)")
     ap.add_argument("--mod", action="store_true", help="enable simple MOD")
     ap.add_argument("--yolo", action="store_true",
                     help="combined MOD (needs weights/person_detector.npz)")
@@ -96,6 +100,12 @@ def main():
     if args.huber is not None:
         icp = dataclasses.replace(icp, huber_delta=args.huber)
     cfg = dataclasses.replace(cfg, icp=icp)
+    if args.cell is not None:
+        cfg = dataclasses.replace(
+            cfg, vo=dataclasses.replace(cfg.vo, detect_cell=args.cell))
+    if args.no_harris:
+        cfg = dataclasses.replace(
+            cfg, vo=dataclasses.replace(cfg.vo, harris_rank=False))
     if args.mod or args.yolo:
         from supersurfel_fusion_tpu.config import MODConfig
 
@@ -139,9 +149,13 @@ def main():
     # 36.7 -> 9.6 fps over 300 frames), and mid-run downloads are worse
     tele, tele_blocks = [], []
     t0 = time.time()
+    t_first = None
     for i in range(n):
         f = ds.load_frame_raw(i)
         out = slam.process(f.rgb, f.depth, f.timestamp)
+        if i == 0:
+            out.pose.t.block_until_ready()
+            t_first = time.time()
         tele.append(jnp.stack([
             out.icp_valid.astype(jnp.int32), out.nb_visible,
             out.nb_supersurfels, out.n_fused, out.n_inserted, out.n_removed,
@@ -156,6 +170,10 @@ def main():
             print(f"frame {i}/{n} ({time.time()-t0:.0f}s)", flush=True)
     out.pose.t.block_until_ready()
     dt = time.time() - t0
+    # steady-state frame rate: clock starts after frame 0 (compile), the
+    # same protocol as bench.py — but note ate_exp ALSO stacks telemetry
+    # per frame, so this is a floor on the bench number, not equal to it
+    fps = (n - 1) / max(time.time() - t_first, 1e-9)
 
     if tele:
         tele_blocks.append(jnp.stack(tele))
@@ -171,7 +189,7 @@ def main():
         gt_w = {t: p for t, p in gt.items() if t <= w_ts[-1] + 0.02}
         if len(gt_w) > 2:
             wtxt = f" ate_w{args.window}={ate(est_w, gt_w).rmse:.4f}"
-    print(f"RESULT tag={args.tag} frames={n} wall={dt:.0f}s "
+    print(f"RESULT tag={args.tag} frames={n} wall={dt:.0f}s fps={fps:.1f} "
           f"icp_valid={iv.mean()*100:.1f}% ate={r.rmse:.4f} "
           f"mean={r.mean:.4f} max={r.max:.4f}{wtxt}", flush=True)
     print(f"  nb_visible max={tv[:, 1].max()} p50={np.median(tv[:, 1]):.0f} "
