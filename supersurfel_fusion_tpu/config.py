@@ -99,10 +99,13 @@ class ICPConfig:
     # (undamped solve + binary gate on inv(JtJ) — measured on fr1/xyz this
     # rejects ~48% of frames and drifts to 0.0349 m vs 0.0195 m with 80).
     solve_damping: float = 80.0
-    # Huber IRLS weight scale (metres) on the point-to-plane residual;
-    # 0 = binary weights (reference behaviour). Slow movers inside the hard
-    # gates get weight huber_delta/|r| instead of 1 (ops/icp.py:_build_system)
-    huber_delta: float = 0.0
+    # NOTE a Huber IRLS weight on the point-to-plane residual was tried
+    # (round 4 knob, round 5 experiment) and removed with evidence: it
+    # down-weights true inliers while the alignment is still converging —
+    # fr3/walking_halfsphere full-sequence ATE 0.5370 -> 0.6216 m and
+    # window 0.1297 -> 0.2963 m at delta=0.05 (artifacts/exp3_cues.log).
+    # The reference's binary gates (dense_registration_kernels.cuh:232-234)
+    # are the right robustifier here.
 
 
 @dataclass(frozen=True)

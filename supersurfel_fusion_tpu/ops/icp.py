@@ -136,20 +136,10 @@ def _build_system(src_pos: Array, src_normal: Array, src_lab: Array,
     dn1 = jnp.sum(d * ns, axis=-1, keepdims=True)
     dn2 = jnp.sum(d * nt, axis=-1, keepdims=True)
 
-    w_f = ok.astype(jnp.float32)
-    if cfg.huber_delta > 0:
-        # Huber IRLS weight on the point-to-plane residual: slow movers that
-        # slip through the hard gates (a walking person moves ~3 cm/frame,
-        # inside max_dist=0.1 m) are strongly down-weighted instead of voting
-        # at full strength; re-evaluated every GN iteration, so true inliers
-        # recover their weight as the alignment converges. The reference uses
-        # binary gates only (dense_registration_kernels.cuh:232-234) —
-        # 0 disables for strict parity.
-        r_abs = jnp.abs(dn2[:, 0])
-        w_f = w_f * jnp.minimum(
-            1.0, cfg.huber_delta / jnp.maximum(r_abs, 1e-9)
-        )
-    w = w_f[:, None]
+    # binary correspondence weights, like the reference's hard gates
+    # (dense_registration_kernels.cuh:232-234). A Huber IRLS variant was
+    # measured WORSE on both TUM sequences (see config.ICPConfig note).
+    w = ok.astype(jnp.float32)[:, None]
 
     x1 = jnp.concatenate([c1, ns], axis=-1) * w                # (N, 6)
     x2 = jnp.concatenate([c2, nt], axis=-1) * w

@@ -33,12 +33,14 @@ def main():
                     help="ICP rel_error_break (1.1 = never break early)")
     ap.add_argument("--damping", type=float, default=None,
                     help="ICP solve_damping (Tikhonov anchor to VO pose)")
-    ap.add_argument("--huber", type=float, default=None,
-                    help="ICP huber_delta (m); robust residual weighting")
     ap.add_argument("--cell", type=int, default=None,
                     help="VO detection NMS cell (px): 32=r3 parity, 16=dense")
     ap.add_argument("--no-harris", action="store_true",
                     help="rank keypoints by FAST score (round-3 behaviour)")
+    ap.add_argument("--no-resid-direct", action="store_true",
+                    help="disable the direct depth-residual MOD marking")
+    ap.add_argument("--depth-cue", type=float, default=None,
+                    help="override BOTH MOD depth-cue scales (0 = off)")
     ap.add_argument("--mod", action="store_true", help="enable simple MOD")
     ap.add_argument("--yolo", action="store_true",
                     help="combined MOD (needs weights/person_detector.npz)")
@@ -97,8 +99,6 @@ def main():
         icp = dataclasses.replace(icp, rel_error_break=args.rel_break)
     if args.damping is not None:
         icp = dataclasses.replace(icp, solve_damping=args.damping)
-    if args.huber is not None:
-        icp = dataclasses.replace(icp, huber_delta=args.huber)
     cfg = dataclasses.replace(cfg, icp=icp)
     if args.cell is not None:
         cfg = dataclasses.replace(
@@ -117,6 +117,14 @@ def main():
             weights_path=wpath if use_yolo else ""))
         if args.yolo and not use_yolo:
             print(f"WARNING: --yolo but no weights at {wpath}", flush=True)
+        if args.no_resid_direct:
+            cfg = dataclasses.replace(
+                cfg, mod=dataclasses.replace(cfg.mod, resid_direct=False))
+        if args.depth_cue is not None:
+            cfg = dataclasses.replace(
+                cfg, mod=dataclasses.replace(
+                    cfg.mod, depth_cue_scale_simple=args.depth_cue,
+                    depth_cue_scale_combined=args.depth_cue))
     if args.delta_t is not None:
         cfg = dataclasses.replace(
             cfg, fusion=dataclasses.replace(cfg.fusion, delta_t=args.delta_t))
