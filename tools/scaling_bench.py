@@ -111,9 +111,11 @@ def _run_single(frames, tag: str) -> dict:
     return r
 
 
+# shape may be a tuple "(f32[6,6]{1,0}, f32[6]{0})" — match non-greedily up
+# to the op name so tuple-shaped all-reduces (the ICP psum) are counted too
 _COLL_RE = re.compile(
-    r"(\w[\w.\-]*) = (\S+?) (all-reduce|all-gather|collective-permute|"
-    r"all-to-all|reduce-scatter)\(")
+    r"[%\w][\w.\-]* = (.*?) (all-reduce|all-gather|collective-permute|"
+    r"all-to-all|reduce-scatter)(?:-start)?\(")
 _SHAPE_RE = re.compile(r"([a-z]+[0-9]+)\[([0-9,]*)\]")
 
 
@@ -144,7 +146,7 @@ def _audit(n_devices: int) -> dict:
     counts: dict = {}
     total_bytes = 0
     for m in _COLL_RE.finditer(hlo):
-        shape, op = m.group(2), m.group(3)
+        shape, op = m.group(1), m.group(2)
         nbytes = 0
         for sm in _SHAPE_RE.finditer(shape):
             dt_b = _dtype_bytes(sm.group(1))

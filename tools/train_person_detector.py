@@ -67,7 +67,7 @@ def collect(args) -> int:
         depths.append(np.asarray(f.depth, np.uint16))
         all_boxes.append(boxes)
         if i % 50 == 0:
-            print(f"frame {i}/{n}  boxes={len(boxes)}  "
+            print(f"frame {i}/{end}  boxes={len(boxes)}  "
                   f"({(i+1)/(time.time()-t0):.1f} fps)", flush=True)
 
     # ragged boxes -> fixed (N, MAXB, 4) with count
@@ -135,6 +135,10 @@ def train(args) -> int:
     depth_u16 = data["depth"]                        # (N, H, W) uint16
     boxes = data["boxes"]                            # (N, MAXB, 4)
     counts = data["counts"]
+    boxes, counts = _filter_labels(boxes, counts, args.min_area,
+                                   args.max_area)
+    print(f"labels after area/aspect filter: {int(counts.sum())} boxes in "
+          f"{int((counts > 0).sum())}/{len(counts)} frames", flush=True)
     N, H, W = gray_u8.shape
     stride = int(np.prod([s for _, s in _STAGES]))
     hh, ww = H // stride, W // stride
@@ -218,10 +222,21 @@ def train(args) -> int:
         losses = []
         for k in range(0, N - bs + 1, bs):
             idx = order[k:k + bs]
+            g_b, d_b = gray_u8[idx], depth_u16[idx]
+            h_b, s_b, m_b = heat_t[idx], size_t[idx], size_m[idx]
+            # horizontal-flip augmentation: the labels come from one camera
+            # sweep, so people appear at biased image positions; flips
+            # double the effective pose coverage for free
+            if args.augment and rng.random() < 0.5:
+                g_b = g_b[:, :, ::-1]
+                d_b = d_b[:, :, ::-1]
+                h_b = h_b[:, :, ::-1]
+                s_b = s_b[:, :, ::-1]
+                m_b = m_b[:, :, ::-1]
             p_new, opt_state, l = step(
-                params, opt_state, jnp.asarray(gray_u8[idx]),
-                jnp.asarray(depth_u16[idx]), jnp.asarray(heat_t[idx]),
-                jnp.asarray(size_t[idx]), jnp.asarray(size_m[idx]))
+                params, opt_state, jnp.asarray(g_b),
+                jnp.asarray(d_b), jnp.asarray(h_b),
+                jnp.asarray(s_b), jnp.asarray(m_b))
             params = p_new
             losses.append(l)
         print(f"epoch {epoch}: loss {np.mean(jax.device_get(losses)):.4f}",
@@ -236,44 +251,92 @@ def train(args) -> int:
              **meta)
     print(f"saved weights -> {args.out} (label provenance: {meta})")
 
-    def eval_boxes(name, g_u8, d_u16, bxs, cts, stride_n=1):
-        """Box recall/precision@IoU0.3 of the detector vs (pseudo-)labels."""
-        hits = tot = ndet = nmatch = 0
-        for i in range(0, len(g_u8), stride_n):
-            det = detect({k: jnp.asarray(v) for k, v in params.items()},
-                         jnp.asarray(g_u8[i], jnp.float32),
-                         jnp.asarray(d_u16[i].astype(np.float32) / 5000.0))
-            db = np.asarray(det.boxes)[np.asarray(det.valid)]
-            ndet += len(db)
-            used = set()
-            for b in range(cts[i]):
-                tot += 1
-                x0, y0, x1, y1 = bxs[i, b]
-                for k, d0 in enumerate(db):
-                    ix = max(0, min(x1, d0[2]) - max(x0, d0[0]))
-                    iy = max(0, min(y1, d0[3]) - max(y0, d0[1]))
-                    inter = ix * iy
-                    a = ((x1 - x0) * (y1 - y0)
-                         + (d0[2] - d0[0]) * (d0[3] - d0[1]))
-                    if inter / max(a - inter, 1e-9) > 0.3:
-                        hits += 1
-                        if k not in used:
-                            used.add(k)
-                            nmatch += 1
-                        break
-            # precision counts detections that match ANY label
-        rec = hits / max(tot, 1)
-        prec = nmatch / max(ndet, 1)
-        print(f"{name}: recall@IoU0.3 {hits}/{tot} = {rec:.2f}  "
-              f"precision {nmatch}/{ndet} = {prec:.2f}")
-        return rec, prec
-
-    eval_boxes("train-set", gray_u8, depth_u16, boxes, counts,
-               stride_n=max(N // 50, 1))
+    _eval_boxes(params, "train-set", gray_u8, depth_u16, boxes, counts,
+                stride_n=max(N // 50, 1))
     if args.eval_data:
         ed = np.load(args.eval_data)
-        eval_boxes(f"HELD-OUT ({os.path.basename(args.eval_data)})",
-                   ed["gray"], ed["depth"], ed["boxes"], ed["counts"])
+        eb, ec = _filter_labels(ed["boxes"], ed["counts"],
+                                args.min_area, args.max_area)
+        _eval_boxes(params, f"HELD-OUT ({os.path.basename(args.eval_data)})",
+                    ed["gray"], ed["depth"], eb, ec)
+    return 0
+
+
+def _filter_labels(boxes, counts, min_area: float, max_area: float):
+    """Keep plausible person-sized label boxes: frame-area fraction within
+    [min_area, max_area] and height/width aspect in [0.7, 6] (standing or
+    walking people; MOD over-marking produces full-frame blobs and
+    sub-superpixel fragments that teach the detector nothing)."""
+    if min_area <= 0.0 and max_area >= 1.0:
+        return boxes, counts
+    nb = np.zeros_like(boxes)
+    nc = np.zeros_like(counts)
+    frame_a = 640.0 * 480.0
+    for i in range(len(counts)):
+        k = 0
+        for b in range(counts[i]):
+            x0, y0, x1, y1 = boxes[i, b]
+            w, h = x1 - x0, y1 - y0
+            if w <= 0 or h <= 0:
+                continue
+            a = w * h / frame_a
+            asp = h / w
+            if min_area <= a <= max_area and 0.7 <= asp <= 6.0:
+                nb[i, k] = boxes[i, b]
+                k += 1
+        nc[i] = k
+    return nb, nc
+
+
+def _eval_boxes(params, name, g_u8, d_u16, bxs, cts, stride_n=1,
+                thresh=0.3):
+    """Box recall/precision@IoU0.3 of the detector vs (pseudo-)labels."""
+    import jax.numpy as jnp
+
+    from supersurfel_fusion_tpu.models.person_detector import detect
+
+    hits = tot = ndet = nmatch = 0
+    for i in range(0, len(g_u8), stride_n):
+        det = detect({k: jnp.asarray(v) for k, v in params.items()},
+                     jnp.asarray(g_u8[i], jnp.float32),
+                     jnp.asarray(d_u16[i].astype(np.float32) / 5000.0),
+                     score_thresh=thresh)
+        db = np.asarray(det.boxes)[np.asarray(det.valid)]
+        ndet += len(db)
+        used = set()
+        for b in range(cts[i]):
+            tot += 1
+            x0, y0, x1, y1 = bxs[i, b]
+            for k, d0 in enumerate(db):
+                ix = max(0, min(x1, d0[2]) - max(x0, d0[0]))
+                iy = max(0, min(y1, d0[3]) - max(y0, d0[1]))
+                inter = ix * iy
+                a = ((x1 - x0) * (y1 - y0)
+                     + (d0[2] - d0[0]) * (d0[3] - d0[1]))
+                if inter / max(a - inter, 1e-9) > 0.3:
+                    hits += 1
+                    if k not in used:
+                        used.add(k)
+                        nmatch += 1
+                    break
+        # precision counts detections that match ANY label
+    rec = hits / max(tot, 1)
+    prec = nmatch / max(ndet, 1)
+    print(f"{name}: recall@IoU0.3 {hits}/{tot} = {rec:.2f}  "
+          f"precision {nmatch}/{ndet} = {prec:.2f}", flush=True)
+    return rec, prec
+
+
+def eval_only(args) -> int:
+    data = np.load(args.data)
+    w = np.load(args.weights)
+    params = {k: w[k] for k in w.files if not k.startswith("label_")}
+    b, c = _filter_labels(data["boxes"], data["counts"],
+                          args.min_area, args.max_area)
+    for th in args.thresh:
+        _eval_boxes(params, f"{os.path.basename(args.weights)} "
+                    f"thresh={th} vs {os.path.basename(args.data)}",
+                    data["gray"], data["depth"], b, c, thresh=th)
     return 0
 
 
@@ -294,14 +357,28 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--min-area", type=float, default=0.0,
+                    help="drop label boxes below this frame-area fraction")
+    ap.add_argument("--max-area", type=float, default=1.0,
+                    help="drop label boxes above this frame-area fraction "
+                         "(over-marked MOD scenes produce full-frame blobs)")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="evaluate --weights against --data labels")
+    ap.add_argument("--weights", default="weights/person_detector.npz")
+    ap.add_argument("--thresh", type=float, nargs="*", default=[0.3],
+                    help="--eval-only: score thresholds to sweep")
+    ap.add_argument("--augment", action="store_true",
+                    help="--train: random horizontal flips")
     args = ap.parse_args()
     if args.collect:
         args.out = args.out or "/tmp/mod_boxes.npz"
         return collect(args)
+    if args.eval_only:
+        return eval_only(args)
     if args.train:
         args.out = args.out or "weights/person_detector.npz"
         return train(args)
-    print("specify --collect or --train")
+    print("specify --collect, --train or --eval-only")
     return 1
 
 
