@@ -58,8 +58,12 @@ def init_params(key=None, in_ch: int = 2) -> dict:
 
 
 def load_params(path: str) -> dict:
+    """Load checkpoint params; `label_*` keys are training-label provenance
+    metadata (strings/ints recorded by tools/train_person_detector.py), not
+    network parameters."""
     data = np.load(path)
-    return {k: jnp.asarray(data[k]) for k in data.files}
+    return {k: jnp.asarray(data[k]) for k in data.files
+            if not k.startswith("label_")}
 
 
 def _conv(x, w, b, stride):

@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--mod", action="store_true", help="enable simple MOD")
     ap.add_argument("--yolo", action="store_true",
                     help="combined MOD (needs weights/person_detector.npz)")
+    ap.add_argument("--weights", default=None,
+                    help="override the person-detector .npz path")
     ap.add_argument("--cam", default="auto", choices=["auto", "fr1", "fr2", "fr3"])
     ap.add_argument("--window", type=int, default=0,
                     help="also report ATE over the first N poses")
@@ -109,7 +111,7 @@ def main():
     if args.mod or args.yolo:
         from supersurfel_fusion_tpu.config import MODConfig
 
-        wpath = os.path.join(os.path.dirname(os.path.dirname(
+        wpath = args.weights or os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "weights", "person_detector.npz")
         use_yolo = args.yolo and os.path.exists(wpath)
         cfg = dataclasses.replace(cfg, mod=MODConfig(

@@ -38,13 +38,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 FR1 = "/root/reference/rgbd_benchmark/rgbd_dataset_freiburg1_xyz"
 
 
-def _cfg(n_devices: int, per_dev_cap: int = 8192):
+def _cfg(n_devices: int, per_dev_cap: int = 8192, small: bool = False):
     from supersurfel_fusion_tpu.config import (
         CameraIntrinsics,
         FusionConfig,
         PipelineConfig,
+        TPSConfig,
+        VOConfig,
     )
 
+    if small:
+        # QVGA + reduced iteration counts: identical collective structure
+        # (same psum/pmin/all_gather graph), ~10x less per-device arithmetic
+        # so an 8-way mesh of virtual CPU devices on a 2-core host finishes
+        # in minutes. Used for the D-trend only; absolute times come from
+        # the real chip (--mode tpu1).
+        return PipelineConfig(
+            cam=CameraIntrinsics(fx=262.5, fy=262.5, cx=159.5, cy=119.5,
+                                 width=320, height=240),
+            tps=TPSConfig(nb_iters=4, nb_samples=8, filter_iter=1,
+                          use_pallas=False),
+            vo=VOConfig(nb_features=256, nb_levels=4,
+                        local_map_capacity=1024),
+            fusion=FusionConfig(nb_supersurfels_max=per_dev_cap * n_devices
+                                // 4, visible_cap=1024),
+        )
     return PipelineConfig(
         cam=CameraIntrinsics.tum_fr1(),
         fusion=FusionConfig(nb_supersurfels_max=per_dev_cap * n_devices,
@@ -59,7 +77,8 @@ def _frames(n: int):
     return [ds.load_frame_raw(i) for i in range(min(n, len(ds)))]
 
 
-def _run_sharded(n_devices: int, frames, tag: str) -> dict:
+def _run_sharded(n_devices: int, frames, tag: str, small: bool = False
+                 ) -> dict:
     import jax
 
     from supersurfel_fusion_tpu.parallel.mesh import make_mesh
@@ -68,7 +87,7 @@ def _run_sharded(n_devices: int, frames, tag: str) -> dict:
         make_process_frame_sharded,
     )
 
-    cfg = _cfg(n_devices)
+    cfg = _cfg(n_devices, small=small)
     mesh = make_mesh(n_devices)
     step = make_process_frame_sharded(mesh, cfg)
     state = init_sharded_state(cfg, mesh)
@@ -169,6 +188,10 @@ def main():
     ap.add_argument("--mode", required=True, choices=["tpu1", "cpu", "audit"])
     ap.add_argument("--devices", type=int, nargs="*", default=[1, 2, 4, 8])
     ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--small", action="store_true",
+                    help="--mode cpu: QVGA/reduced config (same collective "
+                         "structure) so the virtual-device trend is "
+                         "measurable on a 2-core host")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -181,9 +204,32 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        frames = _frames(args.frames)
+        if args.small:
+            from types import SimpleNamespace
+
+            rng = np.random.default_rng(0)
+            yy, xx = np.mgrid[0:240, 0:320].astype(np.float32)
+            # a tilted plane + gentle bumps: every superpixel passes the
+            # plane-inlier and size gates, so generation/fusion/ICP all see
+            # a realistic populated model
+            base_d = (1.5 + 0.4 * xx / 320 + 0.3 * yy / 240
+                      + 0.05 * np.sin(xx / 40) * np.sin(yy / 30))
+            tex = rng.uniform(0, 255, (240, 320, 3)).astype(np.float32)
+            for _ in range(2):
+                tex = (tex + np.roll(tex, 1, 0) + np.roll(tex, 1, 1)) / 3.0
+            frames = [
+                SimpleNamespace(
+                    rgb=tex,
+                    depth=(base_d * (1.0 + 0.002 * i)).astype(np.float32),
+                    timestamp=float(i),
+                )
+                for i in range(args.frames)
+            ]
+        else:
+            frames = _frames(args.frames)
         for d in args.devices:
-            results.append(_run_sharded(d, frames, f"cpu_mesh_D{d}"))
+            results.append(_run_sharded(d, frames, f"cpu_mesh_D{d}",
+                                        small=args.small))
     else:
         import jax
 
