@@ -12,10 +12,11 @@ the reference benchmark node's every-frame synchronous replay
 (`node/supersurfel_fusion_rgbd_benchmark_node.cpp:573-744`).
 
 Each sequence runs in its OWN subprocess, exactly like the shipped CLI runs
-one sequence per invocation. (Running two different compiled pipelines back
-to back in one process collapses the second one's dispatch rate on this
-backend — measured 146 -> 4.6 fps for the identical fr3 loop — so the
-subprocess split is both the honest user path and the workaround.)
+one sequence per invocation. (A round-4 defect collapsed the second
+in-process pipeline's dispatch rate 146 -> 4.6 fps; the on-device
+trajectory ring removed it — round 5 measures 70.4/70.0 fps back to back
+in one process, tools/dispatch_repro.py + tests/test_dispatch.py — so the
+subprocess split is now purely protocol isolation, not a workaround.)
 
 Baseline: the reference's design target of real-time ~30 FPS per GPU
 (BASELINE.md). vs_baseline = our_fps / 30.
