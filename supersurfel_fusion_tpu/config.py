@@ -225,6 +225,20 @@ class MODConfig:
     resid_hot_thresh: float = 0.2
     resid_low_thresh: float = 0.06
     resid_hyst_iters: int = 8
+    # Temporal persistence of the dynamic mask ("heat", ours; no reference
+    # equivalent needed: the reference's COCO-pretrained tiny-YOLOv4
+    # (motion_detection.cu:156-178) keeps PAUSED walkers excluded because a
+    # person is a person whether or not they currently move, while every
+    # motion cue above goes quiet the moment a walker pauses — measured on
+    # fr3/walking_halfsphere, the w126 drift event is mover surface marked
+    # static at exactly such frames (artifacts/ANALYSIS_r5.md §5). Heat is a
+    # per-superpixel-cell scalar, carried across frames by warping with the
+    # inverse camera-motion similarity and decaying by heat_decay; cells
+    # above heat_thresh stay dynamic (~ log(thresh)/log(decay) frames of
+    # persistence after the last fresh evidence).
+    temporal_heat: bool = False
+    heat_decay: float = 0.85
+    heat_thresh: float = 0.3
 
 
 @dataclass(frozen=True)

@@ -30,6 +30,7 @@ from supersurfel_fusion_tpu.config import CameraIntrinsics, MODConfig, TPSConfig
 from supersurfel_fusion_tpu.ops.depth import shift2d
 from supersurfel_fusion_tpu.ops.features import Keypoints
 from supersurfel_fusion_tpu.ops.flow import (
+    bilinear_sample,
     dense_flow,
     estimate_similarity_ransac,
     warp_similarity,
@@ -55,6 +56,8 @@ class MODPrev(NamedTuple):
     kp_desc: Array     # (K, 8) uint32
     kp_valid: Array    # (K,)
     initialized: Array  # () bool
+    heat: Array        # (GH, GW) dynamic-mask temporal heat (config.MODConfig
+    #                    .temporal_heat; decayed + similarity-warped each frame)
 
 
 def superpixel_adjacency(labels: Array, gh: int, gw: int, cs: int) -> Array:
@@ -148,6 +151,32 @@ def geometric_clusters(adj: Array, positions: Array, normals: Array,
 
     root = jax.lax.fori_loop(0, cfg.cc_iters, prop, ids)
     return root, gated
+
+
+def heat_update(prev_heat: Array, fresh: Array, a, b, tx, ty, warp_ok,
+                cs: int, cfg: MODConfig):
+    """Temporal-persistence update for the dynamic mask.
+
+    prev_heat: (GH, GW) heat after the previous frame. fresh: (GH, GW) bool,
+    THIS frame's real-evidence dynamic marks. (a, b, tx, ty) is the
+    prev->current camera-motion similarity; heat rides along by sampling
+    prev_heat at the inverse-transformed current cell centre (identity when
+    warp_ok is False). Returns (heat_mark (GH, GW) bool — cells to keep
+    dynamic, new_heat (GH, GW)). Fresh evidence rewrites heat to 1 so
+    persistence is bounded at ~log(heat_thresh)/log(heat_decay) frames after
+    the last real detection; heat never reinforces itself."""
+    gh, gw = prev_heat.shape
+    cy = (jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 0) + 0.5) * cs
+    cx = (jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 1) + 0.5) * cs
+    det_s = jnp.maximum(a * a + b * b, 1e-12)
+    px = (a * (cx - tx) + b * (cy - ty)) / det_s
+    py = (-b * (cx - tx) + a * (cy - ty)) / det_s
+    px = jnp.where(warp_ok, px, cx)
+    py = jnp.where(warp_ok, py, cy)
+    warped = bilinear_sample(prev_heat, px / cs - 0.5, py / cs - 0.5, 0.0)
+    heat_mark = warped > cfg.heat_thresh
+    new_heat = jnp.maximum(fresh.astype(jnp.float32), warped * cfg.heat_decay)
+    return heat_mark, new_heat
 
 
 def detect_motion(
@@ -380,10 +409,32 @@ def detect_motion(
 
     dynamic = ((label >= 0) & dyn_cluster[lab_c]) | person | mark_resid
 
+    # ---- temporal persistence: paused movers stop firing every cue above
+    # (flow, depth residual) but must stay excluded until they re-anchor —
+    # the reference gets this for free from its COCO person prior
+    # (motion_detection.cu:156-178). Carry a per-cell heat map across
+    # frames: warp by the inverse camera-motion similarity, decay, and keep
+    # cells above heat_thresh dynamic. Fresh evidence (not heat itself)
+    # rewrites heat to 1, so persistence is bounded at
+    # ~log(thresh)/log(decay) frames after the last real detection.
+    if cfg.temporal_heat:
+        heat_mark, new_heat = heat_update(
+            prev.heat, dynamic.reshape(gh, gw), a, b, tx, ty,
+            H_ok & prev.initialized, cs, cfg,
+        )
+        heat_mark = heat_mark.reshape(-1) & prev.initialized
+        dynamic = dynamic | heat_mark
+    else:
+        heat_mark = jnp.zeros((n_sp,), dtype=bool)
+        new_heat = prev.heat
+
     first_frame = ~prev.initialized | ~H_ok
-    # person- and residual-driven dynamics apply even when the 2D flow
-    # compensation failed (the rigid fit is gated separately by rigid_ok)
-    is_static_sp = jnp.where(first_frame, ~(person | mark_resid), ~dynamic)
+    # person-, residual- and heat-driven dynamics apply even when the 2D
+    # flow compensation failed (the rigid fit is gated separately by
+    # rigid_ok; heat falls back to an identity warp)
+    is_static_sp = jnp.where(
+        first_frame, ~(person | mark_resid | heat_mark), ~dynamic
+    )
 
     # ---- static keypoints (dynamic ones dropped from VO + prev context)
     static_kp = kp.valid & is_static_sp[kp_sp]
@@ -396,11 +447,12 @@ def detect_motion(
         kp_desc=kp.desc,
         kp_valid=static_kp,
         initialized=jnp.bool_(True),
+        heat=new_heat,
     )
     return is_static_sp, static_kp, new_prev
 
 
-def init_prev(h: int, w: int, k: int) -> MODPrev:
+def init_prev(h: int, w: int, k: int, cell_size: int = 16) -> MODPrev:
     return MODPrev(
         gray=jnp.zeros((h, w), jnp.float32),
         depth=jnp.zeros((h, w), jnp.float32),
@@ -409,6 +461,7 @@ def init_prev(h: int, w: int, k: int) -> MODPrev:
         kp_desc=jnp.zeros((k, 8), jnp.uint32),
         kp_valid=jnp.zeros((k,), bool),
         initialized=jnp.bool_(False),
+        heat=jnp.zeros((h // cell_size, w // cell_size), jnp.float32),
     )
 
 

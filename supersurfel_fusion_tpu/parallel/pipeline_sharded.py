@@ -120,7 +120,8 @@ def init_sharded_state(cfg: PipelineConfig, mesh: Mesh) -> ShardedSLAMState:
         stamp=rput(jnp.int32(0)),
         local_map=rput(vo_ops.LocalMap.empty(cfg.vo.local_map_capacity)),
         mod_prev=rput(
-            motion_ops.init_prev(cfg.cam.height, cfg.cam.width, kp_cap)
+            motion_ops.init_prev(cfg.cam.height, cfg.cam.width, kp_cap,
+                                     cfg.tps.cell_size)
         ),
         prev_fern_id=rput(jnp.int32(-1)),
         last_lc_stamp=rput(jnp.int32(-(10**6))),

@@ -104,7 +104,8 @@ def init_state(cfg: PipelineConfig) -> SLAMState:
         pose=Pose.identity(),
         stamp=jnp.int32(0),
         local_map=vo_ops.LocalMap.empty(cfg.vo.local_map_capacity),
-        mod_prev=motion_ops.init_prev(cfg.cam.height, cfg.cam.width, kp_cap),
+        mod_prev=motion_ops.init_prev(cfg.cam.height, cfg.cam.width, kp_cap,
+                                     cfg.tps.cell_size),
         kf_store=lc_ops.KeyframeStore.empty(
             cfg.ferns.max_keyframes, cfg.ferns.nb_ferns, kp_cap,
             cfg.nb_superpixels,

@@ -110,3 +110,54 @@ def test_geometric_clusters_split_by_convexity():
     assert len(np.unique(left)) == 1
     assert len(np.unique(right)) == 1
     assert left[0, 0] != right[0, 0]
+
+
+def test_heat_update_persistence_and_decay():
+    """Temporal heat: fresh evidence writes 1, decays ~log(thresh)/log(decay)
+    frames after evidence stops, and never self-reinforces."""
+    import jax.numpy as jnp
+    from supersurfel_fusion_tpu.config import MODConfig
+    from supersurfel_fusion_tpu.ops.motion import heat_update
+
+    cfg = MODConfig(temporal_heat=True, heat_decay=0.85, heat_thresh=0.3)
+    gh, gw, cs = 6, 8, 16
+    heat = jnp.zeros((gh, gw), jnp.float32)
+    fresh = jnp.zeros((gh, gw), bool).at[2, 3].set(True)
+    ident = (1.0, 0.0, 0.0, 0.0)
+
+    mark, heat = heat_update(heat, fresh, *ident, True, cs, cfg)
+    assert not bool(mark[2, 3])          # heat from BEFORE this frame only
+    assert float(heat[2, 3]) == 1.0
+
+    none = jnp.zeros((gh, gw), bool)
+    n_persist = 0
+    for _ in range(20):
+        mark, heat = heat_update(heat, none, *ident, True, cs, cfg)
+        if bool(mark[2, 3]):
+            n_persist += 1
+        else:
+            break
+    # log(0.3)/log(0.85) ~ 7.4 frames of persistence
+    assert 5 <= n_persist <= 9
+    # fully decayed cell stays off forever (no self-reinforcement)
+    for _ in range(3):
+        mark, heat = heat_update(heat, none, *ident, True, cs, cfg)
+    assert not bool(mark.any())
+
+
+def test_heat_update_warps_with_camera_motion():
+    """A 32 px horizontal camera pan (2 cells at cs=16) moves the heat by 2
+    cells so it stays glued to the scene content, not the image."""
+    import jax.numpy as jnp
+    from supersurfel_fusion_tpu.config import MODConfig
+    from supersurfel_fusion_tpu.ops.motion import heat_update
+
+    cfg = MODConfig(temporal_heat=True, heat_decay=0.95, heat_thresh=0.3)
+    gh, gw, cs = 6, 8, 16
+    heat = jnp.zeros((gh, gw), jnp.float32).at[3, 2].set(1.0)
+    none = jnp.zeros((gh, gw), bool)
+    # prev->current similarity: pure translation +32 px in x
+    mark, new_heat = heat_update(heat, none, 1.0, 0.0, 32.0, 0.0, True,
+                                 cs, cfg)
+    assert bool(mark[3, 4]) and not bool(mark[3, 2])
+    assert float(new_heat[3, 4]) > 0.9

@@ -37,6 +37,8 @@ def main():
                     help="VO detection NMS cell (px): 32=r3 parity, 16=dense")
     ap.add_argument("--no-harris", action="store_true",
                     help="rank keypoints by FAST score (round-3 behaviour)")
+    ap.add_argument("--heat", type=float, default=None,
+                    help="enable MOD temporal heat with this decay")
     ap.add_argument("--no-resid-direct", action="store_true",
                     help="disable the direct depth-residual MOD marking")
     ap.add_argument("--depth-cue", type=float, default=None,
@@ -122,6 +124,10 @@ def main():
         if args.no_resid_direct:
             cfg = dataclasses.replace(
                 cfg, mod=dataclasses.replace(cfg.mod, resid_direct=False))
+        if args.heat is not None:
+            cfg = dataclasses.replace(
+                cfg, mod=dataclasses.replace(
+                    cfg.mod, temporal_heat=True, heat_decay=args.heat))
         if args.depth_cue is not None:
             cfg = dataclasses.replace(
                 cfg, mod=dataclasses.replace(
