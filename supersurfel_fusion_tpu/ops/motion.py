@@ -418,8 +418,12 @@ def detect_motion(
     # rewrites heat to 1, so persistence is bounded at
     # ~log(thresh)/log(decay) frames after the last real detection.
     if cfg.temporal_heat:
+        # seed heat ONLY from the targeted cues (person boxes + direct
+        # depth-residual marks). Seeding from the broad cluster cue
+        # over-marks: measured fr3 full-sequence, icp_valid 80.6% -> 22.7%
+        # and w126 0.13 -> 0.25 (artifacts/exp10_heat.log, fr3_heat85).
         heat_mark, new_heat = heat_update(
-            prev.heat, dynamic.reshape(gh, gw), a, b, tx, ty,
+            prev.heat, (person | mark_resid).reshape(gh, gw), a, b, tx, ty,
             H_ok & prev.initialized, cs, cfg,
         )
         heat_mark = heat_mark.reshape(-1) & prev.initialized
