@@ -72,6 +72,26 @@ def run_sequence(dataset, cam, n_frames=None, mod=False, yolo=False):
             lambda f: (f.rgb, f.depth))(ds.load_frame_raw(i))
 
     slam = SupersurfelFusionTPU(cfg)
+
+    if os.environ.get("BENCH_DIAG"):
+        # throughput attribution: decode | +transfer | device-step-only
+        import jax
+        import jax.numpy as jnp
+        nd = min(n, 150)
+        td0 = time.time()
+        for i in range(nd):
+            get(i)
+        td1 = time.time()
+        for i in range(nd):
+            r, d = get(i)
+            out = (jnp.asarray(r), jnp.asarray(d))
+        jax.block_until_ready(out)
+        td2 = time.time()
+        print(json.dumps({
+            "diag": "io", "decode_fps": round(nd / (td1 - td0), 1),
+            "decode_transfer_fps": round(nd / (td2 - td1), 1)}),
+            file=sys.stderr, flush=True)
+
     t0 = time.time()
     t_first = None
     for i in range(n):
@@ -83,6 +103,23 @@ def run_sequence(dataset, cam, n_frames=None, mod=False, yolo=False):
     out.pose.t.block_until_ready()
     t_end = time.time()
     fps = (n - 1) / max(t_end - t_first, 1e-9)
+
+    if os.environ.get("BENCH_DIAG"):
+        # device-step-only throughput: re-feed one already-decoded frame
+        # (transfers still per call, matching the real loop's async overlap)
+        import jax
+        rgb0, depth0 = get(0)
+        ns = 100
+        o = slam.process(rgb0, depth0)
+        o.pose.t.block_until_ready()
+        ts0 = time.time()
+        for _ in range(ns):
+            o = slam.process(rgb0, depth0)
+        o.pose.t.block_until_ready()
+        print(json.dumps({
+            "diag": "step",
+            "step_fps": round(ns / (time.time() - ts0), 1)}),
+            file=sys.stderr, flush=True)
 
     from supersurfel_fusion_tpu.eval.trajectory import ate
 

@@ -135,6 +135,15 @@ class FusionConfig:
     # free-space violation: remove model surfel if p.z < 0.8 * observed depth
     # (filterModel, supersurfel_fusion_kernels.cu:449)
     free_space_ratio: float = 0.8
+    # Deviation from the reference (which fuses every frame,
+    # supersurfel_fusion.cu:373-420): when dense ICP is gate-rejected the
+    # pose is VO-only and may be drifting — the round-5 fr3 anatomy
+    # (artifacts/ANALYSIS_r5.md §5) measured 40-106 surfels/frame inserted
+    # from drifting poses during mover occlusion, permanently displacing the
+    # map. With this flag the model update is skipped on ICP-invalid frames
+    # (bootstrap is unaffected). Flag-gated pending the measured A/B
+    # (tools/ate_exp.py --freeze-loss).
+    freeze_on_tracking_loss: bool = False
 
 
 @dataclass(frozen=True)

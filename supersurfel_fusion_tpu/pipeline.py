@@ -357,12 +357,32 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
             static_sp=is_static_sp if cfg.mod.enabled else None,
         )
 
-    # 13. model update / bootstrap
-    model, fusion_stats = fusion_ops.update_model(
-        state.model._replace(surfels=model_surfels), frame, tps.labels,
-        plane_depth, pose.R, pose.t, cam, cfg.fusion, cfg.conf_thresh,
-        state.stamp,
-    )
+    # 13. model update / bootstrap. With freeze_on_tracking_loss, skip the
+    # update when dense ICP was gate-rejected against a live model: the pose
+    # is VO-only and may be drifting, and inserting from a drifting pose
+    # permanently displaces the map (measured fr3 mover-occlusion anatomy,
+    # artifacts/ANALYSIS_r5.md §5; deviation from supersurfel_fusion.cu:373
+    # which fuses unconditionally).
+    model_in = state.model._replace(surfels=model_surfels)
+
+    def _do_update(m):
+        return fusion_ops.update_model(
+            m, frame, tps.labels, plane_depth, pose.R, pose.t, cam,
+            cfg.fusion, cfg.conf_thresh, state.stamp,
+        )
+
+    if cfg.fusion.freeze_on_tracking_loss and cfg.enable_icp:
+        zero = jnp.int32(0)
+
+        def _skip_update(m):
+            return m, fusion_ops.FusionStats(zero, zero, zero, zero)
+
+        update_ok = icp.valid | (state.model.nb_supersurfels == 0)
+        model, fusion_stats = jax.lax.cond(
+            update_ok, _do_update, _skip_update, model_in
+        )
+    else:
+        model, fusion_stats = _do_update(model_in)
 
     # 14. new-keyframe snapshot (Ferns::addKeyFrame, supersurfel_fusion.cu:
     # 487-514)

@@ -33,6 +33,43 @@ def test_fast_detects_corners():
     assert not hi[19, 40]         # straight edge is not a corner
 
 
+def test_fast_packed_arc_matches_unrolled(rng):
+    """The packed-bit run-of-9 arc test must be bit-exact vs the naive
+    unrolled 16x9 AND-chain formulation it replaced (features.py)."""
+    from supersurfel_fusion_tpu.ops.depth import shift2d
+    from supersurfel_fusion_tpu.ops.features import _CIRCLE
+
+    img = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
+    # include a structured image so real corners are exercised too
+    imgs = [img, jnp.asarray(squares_image(96, 128))]
+
+    def unrolled(im, th):
+        taps = [shift2d(im, dy, dx, fill=0.0) for dx, dy in _CIRCLE]
+        diffs = [t - im for t in taps]
+        bright = [d > th for d in diffs]
+        dark = [d < -th for d in diffs]
+        is_corner = jnp.zeros(im.shape, dtype=bool)
+        for k in range(16):
+            bb = bright[k % 16]
+            dd = dark[k % 16]
+            for j in range(1, 9):
+                bb = bb & bright[(k + j) % 16]
+                dd = dd & dark[(k + j) % 16]
+            is_corner = is_corner | bb | dd
+        return is_corner
+
+    for im in imgs:
+        for th_hi, th_lo in ((15.0, 5.0), (20.0, 7.0)):
+            hi, lo, _ = fast_scores(im, th_hi, th_lo)
+            H, W = im.shape
+            y, x = np.mgrid[0:H, 0:W]
+            interior = (x >= 3) & (x < W - 3) & (y >= 3) & (y < H - 3)
+            ref_hi = np.asarray(unrolled(im, th_hi)) & interior
+            ref_lo = np.asarray(unrolled(im, th_lo)) & interior
+            np.testing.assert_array_equal(np.asarray(hi), ref_hi)
+            np.testing.assert_array_equal(np.asarray(lo), ref_lo)
+
+
 def test_fast_rejects_flat(rng):
     img = jnp.asarray(
         100.0 + rng.normal(0, 1.0, (64, 64)).astype(np.float32)

@@ -37,6 +37,8 @@ def main():
                     help="VO detection NMS cell (px): 32=r3 parity, 16=dense")
     ap.add_argument("--no-harris", action="store_true",
                     help="rank keypoints by FAST score (round-3 behaviour)")
+    ap.add_argument("--freeze-loss", action="store_true",
+                    help="skip model update on ICP-invalid frames")
     ap.add_argument("--heat", type=float, default=None,
                     help="enable MOD temporal heat with this decay")
     ap.add_argument("--no-resid-direct", action="store_true",
@@ -110,6 +112,9 @@ def main():
     if args.no_harris:
         cfg = dataclasses.replace(
             cfg, vo=dataclasses.replace(cfg.vo, harris_rank=False))
+    if args.freeze_loss:
+        cfg = dataclasses.replace(cfg, fusion=dataclasses.replace(
+            cfg.fusion, freeze_on_tracking_loss=True))
     if args.mod or args.yolo:
         from supersurfel_fusion_tpu.config import MODConfig
 
