@@ -342,6 +342,22 @@ def make_process_frame_sharded(mesh: Mesh, cfg: PipelineConfig,
             pose.R, pose.t, stamp, cam, cfg.fusion, cfg.conf_thresh, d,
             axis_name=AXIS,
         )
+        # freeze_on_tracking_loss (pipeline.py step 13): keep the old shard
+        # state on ICP-gate-rejected frames. Select (not lax.cond) so the
+        # update's psum/pmax collectives stay out of divergent control flow;
+        # the predicate is replicated (icp.valid is computed from replicated
+        # inputs on every shard), so all shards agree.
+        if cfg.fusion.freeze_on_tracking_loss and cfg.enable_icp:
+            nbt = jax.lax.psum(nb_loc, AXIS)
+            keep = icp.valid | (nbt == 0)
+            new_surfels = jax.tree.map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(keep, (1,) * new.ndim), new, old
+                ),
+                new_surfels, surfels,
+            )
+            nb_live = jnp.where(keep, nb_live, nb_loc)
+            nb_vis_new = jnp.where(keep, nb_vis_new, nb_vis)
 
         # --- keyframe snapshot (step 14): appended on its owner shard only
         if use_ferns:
