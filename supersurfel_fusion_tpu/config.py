@@ -141,9 +141,16 @@ class FusionConfig:
     # (artifacts/ANALYSIS_r5.md §5) measured 40-106 surfels/frame inserted
     # from drifting poses during mover occlusion, permanently displacing the
     # map. With this flag the model update is skipped on ICP-invalid frames
-    # (bootstrap is unaffected). Flag-gated pending the measured A/B
-    # (tools/ate_exp.py --freeze-loss).
+    # (bootstrap is unaffected). MEASURED AND REJECTED (exp12,
+    # artifacts/ANALYSIS_r5.md §10): freezing visibility maintenance goes
+    # into a stale-ICP-target death spiral (icp_valid 71.5 -> 1.5%). Kept
+    # as the documented experiment record; default must stay False.
     freeze_on_tracking_loss: bool = False
+    # The corrected granularity: skip only the INSERT step on ICP-invalid
+    # frames while fusion / visibility / filtering stay live (ops/fusion.py
+    # update_model allow_insert). Flag-gated pending the measured A/B
+    # (tools/ate_exp.py --insert-gate).
+    insert_requires_icp: bool = False
 
 
 @dataclass(frozen=True)

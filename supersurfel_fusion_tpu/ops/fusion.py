@@ -300,9 +300,17 @@ class FusionStats(NamedTuple):
 def update_model(state: ModelState, frame: Supersurfels, labels: Array,
                  plane_depth: Array, R: Array, t: Array,
                  cam: CameraIntrinsics, cfg: FusionConfig,
-                 conf_thresh: float, stamp: Array):
+                 conf_thresh: float, stamp: Array,
+                 allow_insert=None):
     """Full per-frame model maintenance, bootstrap included
-    (supersurfel_fusion.cu:350-483). Returns (ModelState, FusionStats)."""
+    (supersurfel_fusion.cu:350-483). Returns (ModelState, FusionStats).
+
+    allow_insert (optional () bool): when False, the INSERT step is skipped
+    while fusion / visibility / filtering stay live — the measured-correct
+    granularity for tracking-loss protection (a whole-update freeze goes
+    into a stale-visibility death spiral, artifacts/ANALYSIS_r5.md §10;
+    unconditional insertion from drifting VO-only poses displaces the map,
+    §5 phase A). None (default) = reference behavior: always insert."""
     model, nb, nbv = state.surfels, state.nb_supersurfels, state.nb_visible
     F = frame.capacity
 
@@ -329,9 +337,17 @@ def update_model(state: ModelState, frame: Supersurfels, labels: Array,
         vis_model = jax.tree.map(lambda a: a[:vcap], model)
         match = find_best_matches(vis_model, nbv, frame, labels, R, t, cam, cfg)
         fused = _fuse(frame, model, match, R, t, stamp)
-        inserted, nb_new, n_dropped = _insert(
-            frame, fused, match, nb, R, t, stamp
-        )
+        if allow_insert is None:
+            inserted, nb_new, n_dropped = _insert(
+                frame, fused, match, nb, R, t, stamp
+            )
+        else:
+            inserted, nb_new, n_dropped = jax.lax.cond(
+                allow_insert,
+                lambda _: _insert(frame, fused, match, nb, R, t, stamp),
+                lambda _: (fused, nb, jnp.int32(0)),
+                operand=None,
+            )
         compacted, nb_live, nb_vis = filter_and_compact(
             inserted, nb_new, plane_depth, R, t, cam, cfg, conf_thresh, stamp
         )

@@ -365,10 +365,18 @@ def _process_frame_impl(state: SLAMState, rgb: Array, depth: Array,
     # which fuses unconditionally).
     model_in = state.model._replace(surfels=model_surfels)
 
+    # insert_requires_icp: the measured-correct tracking-loss protection
+    # (ANALYSIS_r5.md §10) — fusion/visibility stay live, only insertion of
+    # NEW surfels from a possibly-drifting VO-only pose is gated.
+    allow_insert = None
+    if cfg.fusion.insert_requires_icp and cfg.enable_icp:
+        allow_insert = icp.valid | (state.model.nb_supersurfels == 0)
+
     def _do_update(m):
         return fusion_ops.update_model(
             m, frame, tps.labels, plane_depth, pose.R, pose.t, cam,
             cfg.fusion, cfg.conf_thresh, state.stamp,
+            allow_insert=allow_insert,
         )
 
     if cfg.fusion.freeze_on_tracking_loss and cfg.enable_icp:

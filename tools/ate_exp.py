@@ -39,6 +39,9 @@ def main():
                     help="rank keypoints by FAST score (round-3 behaviour)")
     ap.add_argument("--freeze-loss", action="store_true",
                     help="skip model update on ICP-invalid frames")
+    ap.add_argument("--insert-gate", action="store_true",
+                    help="skip only INSERTION on ICP-invalid frames "
+                         "(single-device path)")
     ap.add_argument("--heat", type=float, default=None,
                     help="enable MOD temporal heat with this decay")
     ap.add_argument("--no-resid-direct", action="store_true",
@@ -115,6 +118,9 @@ def main():
     if args.freeze_loss:
         cfg = dataclasses.replace(cfg, fusion=dataclasses.replace(
             cfg.fusion, freeze_on_tracking_loss=True))
+    if args.insert_gate:
+        cfg = dataclasses.replace(cfg, fusion=dataclasses.replace(
+            cfg.fusion, insert_requires_icp=True))
     if args.mod or args.yolo:
         from supersurfel_fusion_tpu.config import MODConfig
 
