@@ -144,16 +144,22 @@ def harris_response(img: Array, k: float = 0.04, r: int = 3) -> Array:
     ix = 0.5 * (shift2d(img, 0, 1, fill=0.0) - shift2d(img, 0, -1, fill=0.0))
     iy = 0.5 * (shift2d(img, 1, 0, fill=0.0) - shift2d(img, -1, 0, fill=0.0))
 
-    # (2r+1)^2 box sum as one windowed reduction (XLA lowers reduce_window
-    # to the TPU's native 2D windowed sum; the previous 6-shift-per-axis
-    # pad+slice chain produced ~54 unfused pad ops per frame)
+    # Separable shift-chain box sum, kept deliberately: a reduce_window
+    # formulation was tried (session 2) and reverted — on-device cost is
+    # negligible either way (harris_L0 0.019 ms, tools/feat_bench.py), and
+    # reduce_window changes float summation ORDER, which can flip per-cell
+    # argmax selections and silently shift the validated fr1 trajectory.
+    # This form is float-identical to the round-3-lineage code whose fr1
+    # ATE (0.0195 m) is the committed headline.
     def box(t):
-        return jax.lax.reduce_window(
-            t, 0.0, jax.lax.add,
-            window_dimensions=(2 * r + 1, 2 * r + 1),
-            window_strides=(1, 1),
-            padding=((r, r), (r, r)),
-        )
+        for axis in (0, 1):
+            acc = t
+            for i in range(1, r + 1):
+                acc = acc + (shift2d(t, i, 0) + shift2d(t, -i, 0)
+                             if axis == 0 else
+                             shift2d(t, 0, i) + shift2d(t, 0, -i))
+            t = acc
+        return t
 
     ixx = box(ix * ix)
     iyy = box(iy * iy)
