@@ -34,7 +34,10 @@ FR1 = "/root/reference/rgbd_benchmark/rgbd_dataset_freiburg1_xyz"
 FR3 = "/root/reference/rgbd_benchmark/rgbd_dataset_freiburg3_walking_halfsphere"
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "0")) or None
 BASELINE_FPS = 30.0
-FR3_TIME_GUARD_S = float(os.environ.get("BENCH_FR3_GUARD", "900"))
+# 900s was too tight when the persistent compile cache is cold: a cold
+# remote compile of the full pipeline measured 6-10 min this session
+# (caches are wiped between rounds), leaving no margin for the run itself.
+FR3_TIME_GUARD_S = float(os.environ.get("BENCH_FR3_GUARD", "1800"))
 _WEIGHTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "weights", "person_detector.npz")
 
